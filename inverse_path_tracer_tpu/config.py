@@ -1,0 +1,76 @@
+"""Static render/train configuration.
+
+The reference hardcodes every knob as a compile-time #define
+(reference scene.h:3-13: IM_WIDTH/IM_HEIGHT 500, SAMPLE_NUM 100, p_RR .9,
+camera EYE/LOOK/UP/HA/AR; scene_basics.h:13-14: MIN_DOT 1e-4, EPSILON 1e-2;
+inv_scene.h:5: P_SPEC 0.).  Changing the resolution requires recompiling
+both .so files.  Here the same constants live in a frozen, hashable
+dataclass threaded through jit as a static argument, so any resolution /
+spp / bounce budget compiles on demand.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole camera (reference scene.h:3-7 defaults)."""
+
+    eye: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    look: Tuple[float, float, float] = (0.0, 0.0, 1.0)
+    up: Tuple[float, float, float] = (0.0, 1.0, 0.0)
+    height_angle_deg: float = 90.0
+    aspect_ratio: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static configuration for one render; hashable => usable as a jit
+    static argument."""
+
+    width: int = 500
+    height: int = 500
+    spp: int = 100
+    # The reference's Russian-roulette loop is unbounded (path_trace.cu:175);
+    # on TPU the bounce loop is a fixed-trip masked scan.  At p_rr=.9 the
+    # survival past 32 bounces is 0.9**32 ~= 3.4% of *paths* (far less of
+    # throughput-weighted radiance); raise for tighter parity.
+    max_bounces: int = 16
+    p_rr: float = 0.9
+    # Geometry epsilons (reference scene_basics.h:13-14).
+    min_dot: float = 1e-4
+    epsilon: float = 1e-2
+    # Specular path sampling probability for the inverse pass
+    # (reference inv_scene.h:5 P_SPEC = 0.).
+    p_spec: float = 0.0
+    camera: CameraConfig = CameraConfig()
+    # Rays are streamed through the chip in tiles of this many lanes to
+    # bound live memory; the tile count is a static grid.
+    tile_size: int = 1 << 16
+    # Replicate reference quirks bit-for-bit (see render/forward.py
+    # docstring); set False for the physically-corrected estimator.
+    reference_quirks: bool = True
+
+    @property
+    def n_samples(self) -> int:
+        return self.width * self.height * self.spp
+
+    def with_(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """GCN / recovery training schedule (reference ipt.py:110-111)."""
+
+    lr: float = 1e-4
+    epochs: int = 100_000
+    log_every: int = 1000
+    hidden: int = 100  # reference ipt.py:33
+    p_min: float = 1e-3  # edge threshold, reference ipt.py:26
+    seed: int = 0
+    checkpoint_every: int = 0  # 0 = disabled
+    checkpoint_dir: str = "checkpoints"

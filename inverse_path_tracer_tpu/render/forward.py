@@ -1,0 +1,321 @@
+"""Forward Monte-Carlo path tracer with next-event estimation.
+
+TPU-native wavefront re-design of the reference's CUDA megakernel
+(path_trace.cu:146-198): one CUDA thread per (pixel, sample) becomes a
+jitted bounce *scan* over tiled ray batches; Russian-roulette termination
+and hit/miss divergence become lane masks; the unbounded `while (recur)`
+(path_trace.cu:175) becomes a fixed-trip masked loop of cfg.max_bounces.
+
+The per-bounce math is replicated as the behavioral contract
+(SURVEY.md §3.5), including these reference quirks (active when
+cfg.reference_quirks, the default):
+
+  (Q1) L_e is set only at bounce 0 but never cleared, and
+       `L += prevMultiplier * (L_e + L_d)` runs every iteration
+       (path_trace.cu:122-124, 175-181) — first-hit emission is re-added
+       at every bounce scaled by the running throughput.
+  (Q2) when a ray escapes, `radiance` returns without touching L_d, yet
+       the loop body still adds prevMultiplier*(L_e + L_d) once more with
+       the *stale* L_d of the previous bounce (path_trace.cu:117,175-181).
+  (Q3) diffuse sampling returns pdf = 1/pi for a cosine-sampled direction
+       (true pdf cos(theta)/pi; path_trace.cu:94,108).
+  (Q4) NEE weight cos*cos'/t^2/p_t with p_t the CDF selection probability
+       only — no 1/area density inside the chosen triangle
+       (path_trace.cu:51,86).
+
+With reference_quirks=False, (Q1) adds emission exactly once and (Q2)
+adds nothing on escape ((Q3)/(Q4) are estimator conventions that cancel
+in expectation against the corresponding weights; they are kept).
+
+Differentiability: path geometry (directions, RR, hit points) is
+independent of the (nT,3) material array — gradients flow only through
+the BSDF products and NEE emission terms, so plain `jax.grad` of any
+image loss w.r.t. `materials` is exact pathwise differentiation.  The
+bounce scan is rematerialized (jax.checkpoint) to keep backward memory at
+O(tile) instead of O(tile * bounces * nT).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from inverse_path_tracer_tpu.config import RenderConfig
+from inverse_path_tracer_tpu.ops.bsdf import bsdf_diagonal
+from inverse_path_tracer_tpu.ops.intersect import Intersection, intersect_brute, smooth_normal
+from inverse_path_tracer_tpu.ops.sampling import (
+    pick_emissive,
+    sample_emissive_point,
+    sample_next_dir,
+)
+from inverse_path_tracer_tpu.ops.tonemap import tonemap_mean, tonemap_to_uint8
+from inverse_path_tracer_tpu.scene.build import SceneData
+
+# RNG slot ids within one bounce (any distinct constants work — the
+# threefry counter construction makes streams independent).
+_SLOT_NEE_PICK, _SLOT_NEE_R1, _SLOT_NEE_R2, _SLOT_RR, _SLOT_PHI, _SLOT_THETA = range(6)
+# Camera jitter slots (bounce index 0; slots 0-5 are the bounce slots so
+# 6/7 never collide — fold_in data must be non-negative).
+_SLOT_JITTER_X, _SLOT_JITTER_Y = 6, 7
+
+
+def _u(key: jax.Array, bounce, slot: int, n: int) -> jnp.ndarray:
+    """Counter-based uniform stream: independent per (key, bounce, slot, lane)."""
+    return jax.random.uniform(jax.random.fold_in(jax.random.fold_in(key, bounce), slot), (n,))
+
+
+class RenderStats(NamedTuple):
+    """Ray accounting for rays/sec metrics (all f32 scalars)."""
+
+    segments: jnp.ndarray  # path segments actually traced (alive lanes per bounce)
+    shadow_rays: jnp.ndarray  # NEE shadow rays actually traced (hit lanes per bounce)
+
+
+def camera_rays(
+    scene: SceneData, cfg: RenderConfig, key: jax.Array, sample_idx: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Primary rays for global sample indices curr = (r*W + c)*spp + s
+    (reference path_trace.cu:155-165):
+    x = 2(c+u)/W - 1, y = 1 - 2(r+u)/H, d = normalize(x, y, 1), then the
+    S @ V^T camera transform (p' = M33 @ p, translation dropped — see
+    scene/build.py docstring)."""
+    n = sample_idx.shape[0]
+    r = (sample_idx // (cfg.spp * cfg.width)).astype(jnp.float32)
+    c = ((sample_idx // cfg.spp) % cfg.width).astype(jnp.float32)
+    u1 = _u(key, 0, _SLOT_JITTER_X, n)
+    u2 = _u(key, 0, _SLOT_JITTER_Y, n)
+    x = 2.0 * (c + u1) / cfg.width - 1.0
+    y = 1.0 - 2.0 * (r + u2) / cfg.height
+    d = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    d = d @ scene.cam_m33.T
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    p = jnp.zeros_like(d)
+    return p, d
+
+
+def direct_lighting(
+    materials: jnp.ndarray,
+    scene: SceneData,
+    cfg: RenderConfig,
+    key: jax.Array,
+    bounce,
+    ray_d: jnp.ndarray,
+    isect: Intersection,
+) -> jnp.ndarray:
+    """Next-event estimation (reference directLighting path_trace.cu:30-89).
+
+    Returns the (R,3) direct radiance (zero where any visibility /
+    orientation check fails).  Scenes with no emissives return zero
+    (static shape check, path_trace.cu:34)."""
+    n = ray_d.shape[0]
+    if scene.n_emissive == 0:
+        return jnp.zeros((n, 3), dtype=ray_d.dtype)
+
+    u_pick = _u(key, bounce, _SLOT_NEE_PICK, n)
+    r1 = _u(key, bounce, _SLOT_NEE_R1, n)
+    r2 = _u(key, bounce, _SLOT_NEE_R2, n)
+
+    t_emm, p_t = pick_emissive(scene, u_pick)
+    emm_point = sample_emissive_point(scene, t_emm, r1, r2)
+
+    to_light = emm_point - isect.point
+    to_light = to_light / jnp.linalg.norm(to_light, axis=-1, keepdims=True)
+
+    shade_n = smooth_normal(scene, isect.tri, isect.point)
+    cos_theta = jnp.sum(shade_n * to_light, axis=-1)
+    ok = cos_theta >= 0.0  # reference rejects cos < 0 strictly (:71)
+
+    shadow = intersect_brute(scene, isect.point, to_light, cfg.min_dot, cfg.epsilon)
+    ok = ok & shadow.hit
+
+    light_n = smooth_normal(scene, t_emm, shadow.point)
+    cos_theta_p = -jnp.sum(light_n * to_light, axis=-1)
+    ok = ok & (cos_theta_p >= 0.0)
+    ok = ok & (shadow.tri == t_emm)
+
+    l_o = scene.emission[t_emm]  # (R, 3)
+    geom = cos_theta * cos_theta_p / jnp.where(ok, shadow.t, 1.0) ** 2 / p_t
+    bsdf = bsdf_diagonal(materials, scene, isect.tri, shade_n, ray_d, to_light, True)
+    out = bsdf * (l_o * geom[:, None])
+    return jnp.where(ok[:, None], out, 0.0)
+
+
+class _BounceState(NamedTuple):
+    ray_p: jnp.ndarray  # (R, 3)
+    ray_d: jnp.ndarray  # (R, 3)
+    radiance: jnp.ndarray  # (R, 3) accumulated L
+    l_e: jnp.ndarray  # (R, 3) first-hit emission (quirk Q1)
+    l_d: jnp.ndarray  # (R, 3) last direct lighting (stale on escape, Q2)
+    prev_mult: jnp.ndarray  # (R, 3) diagonal throughput entering this bounce
+    alive: jnp.ndarray  # (R,) bool
+
+
+def _bounce_step(
+    materials: jnp.ndarray,
+    scene: SceneData,
+    cfg: RenderConfig,
+    key: jax.Array,
+    state: _BounceState,
+    bounce,
+) -> Tuple[_BounceState, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """One wavefront bounce over all lanes (reference radiance
+    path_trace.cu:111-144 + the loop body :175-181)."""
+    n = state.ray_p.shape[0]
+    isect = intersect_brute(scene, state.ray_p, state.ray_d, cfg.min_dot, cfg.epsilon)
+    act = state.alive
+    hit_act = act & isect.hit
+
+    # Emission: set at bounce 0 only, never cleared (Q1; :122-124).
+    emission = scene.emission[isect.tri]
+    if cfg.reference_quirks:
+        l_e = jnp.where((hit_act & (bounce == 0))[:, None], emission, state.l_e)
+        l_e_contrib = l_e
+    else:
+        # Corrected: emission of the first hit contributes exactly once.
+        l_e = jnp.where((hit_act & (bounce == 0))[:, None], emission, 0.0)
+        l_e_contrib = l_e
+
+    # Direct lighting at the current hit (fresh for hits; stale kept for
+    # escaping lanes — Q2).
+    l_d_fresh = direct_lighting(materials, scene, cfg, key, bounce, state.ray_d, isect)
+    l_d = jnp.where(hit_act[:, None], l_d_fresh, state.l_d)
+    if cfg.reference_quirks:
+        contrib_mask = act  # escaped lanes still add prev*(L_e + stale L_d)
+        l_d_contrib = l_d
+    else:
+        contrib_mask = hit_act
+        l_d_contrib = jnp.where(hit_act[:, None], l_d_fresh, 0.0)
+
+    radiance = state.radiance + jnp.where(
+        contrib_mask[:, None], state.prev_mult * (l_e_contrib + l_d_contrib), 0.0
+    )
+
+    # Russian roulette (:130-131): continue iff u < p_RR.
+    u_rr = _u(key, bounce, _SLOT_RR, n)
+    cont = hit_act & (u_rr < cfg.p_rr)
+
+    # Next direction: sampled around the FACE normal (:134 uses
+    # tri->normal), while the throughput cosine uses the smooth normal
+    # (:137 uses getNormal).
+    mat_spec = scene.specular[isect.tri]
+    mat_shin = scene.shininess[isect.tri]
+    is_specular = (mat_spec != 0.0).any(axis=-1) & (mat_shin != 0.0)
+    u_phi = _u(key, bounce, _SLOT_PHI, n)
+    u_theta = _u(key, bounce, _SLOT_THETA, n)
+    next_dir, pdf = sample_next_dir(
+        scene.face_normal[isect.tri], is_specular, mat_shin, u_phi, u_theta
+    )
+    shade_n = smooth_normal(scene, isect.tri, isect.point)
+    bsdf = bsdf_diagonal(
+        materials, scene, isect.tri, shade_n, state.ray_d, next_dir, False
+    )
+    # pdf can be exactly 0 on measure-zero specular draws (cos(theta)=0);
+    # the reference would produce inf throughput there.  Zero the lane
+    # instead, and zero dead lanes too so no NaN/inf can leak into
+    # d(materials) through the 0*grad(where) trap.
+    cosine = jnp.sum(next_dir * shade_n, axis=-1)
+    coeff = jnp.where(pdf > 0, cosine / jnp.where(pdf > 0, pdf, 1.0) / cfg.p_rr, 0.0)
+    coeff = jnp.where(cont, coeff, 0.0)
+    mult = state.prev_mult * bsdf * coeff[:, None]
+
+    new_state = _BounceState(
+        ray_p=jnp.where(cont[:, None], isect.point, state.ray_p),
+        ray_d=jnp.where(cont[:, None], next_dir, state.ray_d),
+        radiance=radiance,
+        l_e=l_e,
+        l_d=l_d,
+        prev_mult=jnp.where(cont[:, None], mult, state.prev_mult),
+        alive=cont,
+    )
+    seg = jnp.sum(act.astype(jnp.float32))
+    shadow = jnp.sum(hit_act.astype(jnp.float32))
+    return new_state, (seg, shadow)
+
+
+def _render_tile(
+    materials: jnp.ndarray,
+    scene: SceneData,
+    cfg: RenderConfig,
+    key: jax.Array,
+    start_idx: jnp.ndarray,
+    tile: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Render `tile` consecutive samples starting at start_idx."""
+    idx = start_idx + jnp.arange(tile, dtype=jnp.int32)
+    in_range = idx < cfg.n_samples
+    tkey = jax.random.fold_in(key, start_idx // tile)
+
+    p, d = camera_rays(scene, cfg, tkey, idx)
+    zero3 = jnp.zeros((tile, 3), dtype=jnp.float32)
+    state = _BounceState(
+        ray_p=p,
+        ray_d=d,
+        radiance=zero3,
+        l_e=zero3,
+        l_d=zero3,
+        prev_mult=jnp.ones((tile, 3), dtype=jnp.float32),
+        alive=in_range,
+    )
+
+    step = lambda s, b: _bounce_step(materials, scene, cfg, tkey, s, b)
+    step = jax.checkpoint(step)
+    state, (segs, shadows) = jax.lax.scan(
+        step, state, jnp.arange(cfg.max_bounces, dtype=jnp.int32)
+    )
+    return state.radiance, jnp.sum(segs), jnp.sum(shadows)
+
+
+def render_samples(
+    materials: jnp.ndarray,
+    scene: SceneData,
+    key: jax.Array,
+    cfg: RenderConfig,
+) -> Tuple[jnp.ndarray, RenderStats]:
+    """Per-sample radiance for all W*H*spp samples (reference
+    renderSample grid path_trace.cu:146-184), streamed through the chip
+    in cfg.tile_size tiles.
+
+    Returns (radiance (n_samples, 3), RenderStats)."""
+    total = cfg.n_samples
+    tile = min(cfg.tile_size, total)
+    n_tiles = -(-total // tile)
+
+    def tile_fn(start):
+        return _render_tile(materials, scene, cfg, key, start, tile)
+
+    starts = (jnp.arange(n_tiles, dtype=jnp.int32)) * tile
+    vals, segs, shadows = jax.lax.map(tile_fn, starts)
+    stats = RenderStats(segments=jnp.sum(segs), shadow_rays=jnp.sum(shadows))
+    return vals.reshape(-1, 3)[:total], stats
+
+
+def render_image(
+    materials: jnp.ndarray,
+    scene: SceneData,
+    key: jax.Array,
+    cfg: RenderConfig,
+) -> jnp.ndarray:
+    """Tone-mapped (H, W, 3) float image in [0, 1) — differentiable."""
+    samples, _ = render_samples(materials, scene, key, cfg)
+    return tonemap_mean(samples, cfg.spp).reshape(cfg.height, cfg.width, 3)
+
+
+def render_to_png(
+    materials: jnp.ndarray,
+    scene: SceneData,
+    key: jax.Array,
+    cfg: RenderConfig,
+    path: str,
+) -> "jnp.ndarray":
+    """Render and write a PNG (reference createImage path_trace.cu:227-234,
+    stbi_write_png replaced by PIL).  Returns the uint8 image array."""
+    from PIL import Image
+    import numpy as np
+
+    img = jax.jit(render_image, static_argnums=(3,))(materials, scene, key, cfg)
+    img8 = np.asarray(tonemap_to_uint8(img))
+    Image.fromarray(img8, mode="RGB").save(path)
+    return img8
