@@ -1,0 +1,133 @@
+"""Benchmark harness.
+
+Measures the driver-defined metric (BASELINE.json): rays/sec/chip,
+forward and forward+backward, on the Cornell-box scene (scenes/0.txt) at
+512x512, 64 spp.  "Rays" counts every traced intersection sweep: path
+segments (primary + bounce) plus NEE shadow rays, from instrumented
+alive-lane counts (RenderStats) — not a theoretical expectation.
+
+Prints ONE JSON line on stdout:
+  {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N, ...}
+Detail goes to stderr.  The reference publishes no numbers
+(BASELINE.md), so vs_baseline is the ratio to the first recorded value
+of this same harness (stored in bench_baseline.json after the first
+run), i.e. the round-over-round speedup.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from inverse_path_tracer_tpu.config import RenderConfig
+from inverse_path_tracer_tpu.render.forward import render_samples
+from inverse_path_tracer_tpu.ops.tonemap import tonemap_mean
+from inverse_path_tracer_tpu.scene.build import load_scene
+
+REF = "/root/reference"
+BASE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_forward(scene, cfg, iters=3):
+    @jax.jit
+    def run(mats, key):
+        vals, stats = render_samples(mats, scene, key, cfg)
+        # Reduce to tiny outputs so timing excludes the D2H of 16M samples.
+        return vals.sum(), stats
+
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    out = jax.block_until_ready(run(scene.diffuse, key))
+    compile_s = time.time() - t0
+    log(f"fwd compile+first run: {compile_s:.1f}s")
+
+    times = []
+    rays = None
+    for i in range(iters):
+        key = jax.random.PRNGKey(i + 1)
+        t0 = time.time()
+        s, stats = jax.block_until_ready(run(scene.diffuse, key))
+        times.append(time.time() - t0)
+        rays = float(stats.segments) + float(stats.shadow_rays)
+    dt = min(times)
+    log(f"fwd: {dt:.3f}s best of {iters}, rays={rays:.3e}, {rays/dt:.3e} rays/s")
+    return rays / dt, rays
+
+
+def bench_forward_backward(scene, cfg, iters=3):
+    def loss_fn(mats, key):
+        vals, stats = render_samples(mats, scene, key, cfg)
+        img = tonemap_mean(vals, cfg.spp)
+        return img.mean(), stats
+
+    grad_fn = jax.jit(jax.grad(loss_fn, has_aux=True))
+
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    jax.block_until_ready(grad_fn(scene.diffuse, key))
+    log(f"fwd+bwd compile+first run: {time.time() - t0:.1f}s")
+
+    times = []
+    rays = None
+    for i in range(iters):
+        key = jax.random.PRNGKey(i + 1)
+        t0 = time.time()
+        g, stats = jax.block_until_ready(grad_fn(scene.diffuse, key))
+        times.append(time.time() - t0)
+        rays = float(stats.segments) + float(stats.shadow_rays)
+    dt = min(times)
+    log(f"fwd+bwd: {dt:.3f}s best of {iters}, {rays/dt:.3e} rays/s")
+    return rays / dt, rays
+
+
+def main():
+    width = int(os.environ.get("BENCH_WIDTH", 512))
+    height = int(os.environ.get("BENCH_HEIGHT", 512))
+    spp = int(os.environ.get("BENCH_SPP", 64))
+    bounces = int(os.environ.get("BENCH_BOUNCES", 16))
+    tile = int(os.environ.get("BENCH_TILE", 1 << 17))
+
+    log(f"devices: {jax.devices()}")
+    scene = load_scene(os.path.join(REF, "scenes/0.txt"), asset_root=REF)
+    cfg = RenderConfig(
+        width=width, height=height, spp=spp, max_bounces=bounces, tile_size=tile
+    )
+    log(f"config: {width}x{height} {spp}spp {bounces} bounces tile={tile}")
+
+    fwd_rps, _ = bench_forward(scene, cfg)
+    fwdbwd_rps, _ = bench_forward_backward(scene, cfg)
+
+    # vs_baseline: ratio to this harness's first recorded number.
+    if os.path.exists(BASE_FILE):
+        with open(BASE_FILE) as f:
+            base = json.load(f)
+    else:
+        base = {"fwd_rays_per_sec": fwd_rps, "fwdbwd_rays_per_sec": fwdbwd_rps}
+        try:
+            with open(BASE_FILE, "w") as f:
+                json.dump(base, f)
+        except OSError:
+            pass
+
+    result = {
+        "metric": f"rays_per_sec_fwd_cornell_{width}x{height}_{spp}spp",
+        "value": fwd_rps,
+        "unit": "rays/s",
+        "vs_baseline": fwd_rps / base["fwd_rays_per_sec"],
+        "fwd_bwd_rays_per_sec": fwdbwd_rps,
+        "fwd_bwd_vs_baseline": fwdbwd_rps / base.get("fwdbwd_rays_per_sec", fwdbwd_rps),
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,227 @@
+"""Command-line interface.
+
+The reference's entry points are two python scripts with commented-out
+code paths (ipt.py:86-144).  Here each capability is a subcommand:
+
+  render        forward-render a scene DSL file to PNG
+  generate      write n scenes + render their PNGs (dataset generation)
+  extract-graph transport-graph extraction -> npz
+  train-gcn     train the GCN material regressor on extracted graphs
+  recover       direct gradient-based material recovery
+  bench         the rays/sec benchmark (same as repo-root bench.py)
+
+Run: python -m inverse_path_tracer_tpu.cli <subcommand> -h
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _cfg_from_args(args):
+    from inverse_path_tracer_tpu.config import RenderConfig
+
+    return RenderConfig(
+        width=args.width,
+        height=args.height,
+        spp=args.spp,
+        max_bounces=args.bounces,
+        tile_size=args.tile,
+        p_rr=args.p_rr,
+        reference_quirks=not args.no_quirks,
+    )
+
+
+def _add_render_args(p: argparse.ArgumentParser, width=512, height=512, spp=64):
+    p.add_argument("--width", type=int, default=width)
+    p.add_argument("--height", type=int, default=height)
+    p.add_argument("--spp", type=int, default=spp)
+    p.add_argument("--bounces", type=int, default=16)
+    p.add_argument("--tile", type=int, default=1 << 16)
+    p.add_argument("--p-rr", type=float, default=0.9)
+    p.add_argument("--no-quirks", action="store_true",
+                   help="use the physically-corrected estimator")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--asset-root", default="/root/reference")
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+
+
+def _maybe_cpu(args):
+    if getattr(args, "cpu", False):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
+def cmd_render(args):
+    _maybe_cpu(args)
+    import jax
+    from inverse_path_tracer_tpu.render.forward import render_to_png
+    from inverse_path_tracer_tpu.scene.build import load_scene
+
+    scene = load_scene(args.scene, asset_root=args.asset_root)
+    cfg = _cfg_from_args(args)
+    render_to_png(scene.diffuse, scene, jax.random.PRNGKey(args.seed), cfg, args.out)
+    print(f"wrote {args.out} ({cfg.width}x{cfg.height}, {cfg.spp} spp)")
+
+
+def cmd_generate(args):
+    _maybe_cpu(args)
+    from inverse_path_tracer_tpu.data.pipeline import generate_files
+
+    cfg = _cfg_from_args(args)
+    generate_files(
+        args.n,
+        cfg,
+        scenes_dir=args.scenes_dir,
+        imgs_dir=args.imgs_dir,
+        asset_root=args.asset_root,
+        seed=args.seed,
+    )
+    print(f"wrote {args.n} scenes to {args.scenes_dir}/ and renders to {args.imgs_dir}/")
+
+
+def cmd_extract_graph(args):
+    _maybe_cpu(args)
+    from inverse_path_tracer_tpu.data.pipeline import generate_data
+
+    cfg = _cfg_from_args(args)
+    w, pixel, light, labels = generate_data(
+        args.scene, args.image, cfg, asset_root=args.asset_root
+    )
+    np.savez(args.out, w=w, pixel=pixel, light=light, labels=labels)
+    print(f"wrote {args.out}: w{w.shape} pixel{pixel.shape} labels{labels.shape}")
+
+
+def cmd_train_gcn(args):
+    _maybe_cpu(args)
+    import jax
+    import jax.numpy as jnp
+    from inverse_path_tracer_tpu.models.gcn import build_dense_graph, train_gcn, gcn_forward
+    from inverse_path_tracer_tpu.utils.checkpoint import save_checkpoint
+    from inverse_path_tracer_tpu.utils.metrics import MetricsLogger
+
+    adjs, feats, labels = [], [], []
+    for path in args.graphs:
+        with np.load(path) as d:
+            a, f = build_dense_graph(jnp.asarray(d["w"]), jnp.asarray(d["pixel"]))
+            adjs.append(a)
+            feats.append(f)
+            labels.append(jnp.asarray(d["labels"]))
+    adj = jnp.stack(adjs) if len(adjs) > 1 else adjs[0]
+    x = jnp.stack(feats) if len(feats) > 1 else feats[0]
+    y = jnp.stack(labels) if len(labels) > 1 else labels[0]
+
+    logger = MetricsLogger(args.log)
+    params, loss = train_gcn(
+        jax.random.PRNGKey(args.seed),
+        adj,
+        x,
+        y,
+        epochs=args.epochs,
+        lr=args.lr,
+        log_every=args.log_every,
+        log_fn=lambda s, l: logger.log(step=s, loss=l),
+    )
+    save_checkpoint(args.out, params, step=args.epochs, final_loss=loss)
+    print(f"final L1 loss {loss:.5f}; checkpoint -> {args.out}")
+
+
+def cmd_recover(args):
+    _maybe_cpu(args)
+    import jax
+    from inverse_path_tracer_tpu.data.pipeline import load_image01, render_with_materials
+    from inverse_path_tracer_tpu.models.recover import recover_materials
+    from inverse_path_tracer_tpu.scene.build import load_scene
+    from inverse_path_tracer_tpu.utils.metrics import MetricsLogger, psnr
+
+    scene = load_scene(args.scene, asset_root=args.asset_root)
+    cfg = _cfg_from_args(args)
+    target = load_image01(args.image)
+    mesh = None
+    if args.shard:
+        from inverse_path_tracer_tpu.parallel.shard import make_mesh
+
+        mesh = make_mesh()
+    logger = MetricsLogger(args.log)
+    mats, losses = recover_materials(
+        scene,
+        target,
+        cfg,
+        steps=args.steps,
+        lr=args.lr,
+        key=jax.random.PRNGKey(args.seed),
+        mesh=mesh,
+        log_fn=lambda s, l: logger.log(step=s, loss=l)
+        if s % args.log_every == 0
+        else None,
+    )
+    err = np.abs(np.asarray(mats) - np.asarray(scene.diffuse))
+    print(f"recovered materials: mean |Kd err| vs scene labels = {err.mean():.4f}")
+    np.save(args.out, np.asarray(mats))
+    if args.render_out:
+        render_with_materials(
+            args.scene, args.render_out, mats, cfg, asset_root=args.asset_root
+        )
+        print(f"re-rendered with recovered materials -> {args.render_out}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="inverse_path_tracer_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("render", help="forward-render a scene to PNG")
+    pr.add_argument("scene")
+    pr.add_argument("out")
+    _add_render_args(pr)
+    pr.set_defaults(fn=cmd_render)
+
+    pg = sub.add_parser("generate", help="generate n scenes + renders")
+    pg.add_argument("n", type=int)
+    pg.add_argument("--scenes-dir", default="scenes")
+    pg.add_argument("--imgs-dir", default="imgs")
+    _add_render_args(pg, width=500, height=500, spp=100)
+    pg.set_defaults(fn=cmd_generate)
+
+    pe = sub.add_parser("extract-graph", help="transport graph -> npz")
+    pe.add_argument("scene")
+    pe.add_argument("image")
+    pe.add_argument("out")
+    _add_render_args(pe)
+    pe.set_defaults(fn=cmd_extract_graph)
+
+    pt = sub.add_parser("train-gcn", help="train the GCN regressor")
+    pt.add_argument("graphs", nargs="+", help="npz files from extract-graph")
+    pt.add_argument("--out", default="gcn_params.npz")
+    pt.add_argument("--epochs", type=int, default=100_000)
+    pt.add_argument("--lr", type=float, default=1e-4)
+    pt.add_argument("--log-every", type=int, default=1000)
+    pt.add_argument("--log", default=None, help="JSONL metrics path")
+    pt.add_argument("--seed", type=int, default=0)
+    pt.add_argument("--cpu", action="store_true")
+    pt.set_defaults(fn=cmd_train_gcn)
+
+    pv = sub.add_parser("recover", help="gradient-based material recovery")
+    pv.add_argument("scene")
+    pv.add_argument("image")
+    pv.add_argument("--out", default="recovered_kd.npy")
+    pv.add_argument("--render-out", default=None)
+    pv.add_argument("--steps", type=int, default=200)
+    pv.add_argument("--lr", type=float, default=5e-2)
+    pv.add_argument("--shard", action="store_true", help="shard rays over all devices")
+    pv.add_argument("--log", default=None)
+    pv.add_argument("--log-every", type=int, default=10)
+    _add_render_args(pv, width=128, height=128, spp=16)
+    pv.set_defaults(fn=cmd_recover)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

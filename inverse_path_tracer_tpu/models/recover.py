@@ -1,0 +1,85 @@
+"""Direct gradient-based material recovery.
+
+The TPU-idiomatic inverse path the reference cannot express: because the
+renderer is a pure differentiable function of the (nT,3) material array,
+material recovery is just optimization of
+    loss(theta) = mean |tonemap(render(sigmoid(theta))) - target|
+(BASELINE.json configs #3-#5).  The sharded multi-chip step lives in
+parallel/shard.py (make_recover_step); this module is the single-chip
+convenience wrapper plus the batched multi-scene driver.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from inverse_path_tracer_tpu.config import RenderConfig
+from inverse_path_tracer_tpu.render.forward import render_samples
+from inverse_path_tracer_tpu.ops.tonemap import tonemap_mean
+from inverse_path_tracer_tpu.scene.build import SceneData
+
+
+def recover_loss(
+    theta: jnp.ndarray,
+    scene: SceneData,
+    key: jax.Array,
+    cfg: RenderConfig,
+    target01: jnp.ndarray,
+) -> jnp.ndarray:
+    mats = jax.nn.sigmoid(theta)
+    vals, _ = render_samples(mats, scene, key, cfg)
+    img = tonemap_mean(vals, cfg.spp).reshape(cfg.height, cfg.width, 3)
+    return jnp.mean(jnp.abs(img - target01))
+
+
+def make_single_chip_step(scene: SceneData, cfg: RenderConfig, optimizer):
+    @jax.jit
+    def step(theta, opt_state, key, target01):
+        loss, grad = jax.value_and_grad(recover_loss)(theta, scene, key, cfg, target01)
+        updates, opt_state = optimizer.update(grad, opt_state, theta)
+        theta = theta + updates
+        return theta, opt_state, loss
+
+    return step
+
+
+def recover_materials(
+    scene: SceneData,
+    target01: jnp.ndarray,
+    cfg: RenderConfig,
+    steps: int = 200,
+    lr: float = 5e-2,
+    key: Optional[jax.Array] = None,
+    mesh=None,
+    log_fn: Optional[Callable[[int, float], None]] = None,
+    resample_every: int = 1,
+) -> Tuple[jnp.ndarray, List[float]]:
+    """Recover per-triangle Kd for one scene against a target image.
+
+    resample_every: draw a fresh render key every k steps (fresh MC
+    sample sets de-bias the estimator; k=1 is SGD on the true loss)."""
+    key = jax.random.PRNGKey(0) if key is None else key
+    opt = optax.adam(lr)
+    theta = jnp.zeros_like(scene.diffuse)
+    state = opt.init(theta)
+    if mesh is not None:
+        from inverse_path_tracer_tpu.parallel.shard import make_recover_step
+
+        step = make_recover_step(scene, cfg, mesh, opt)
+    else:
+        step = make_single_chip_step(scene, cfg, opt)
+
+    losses = []
+    rkey = key
+    for i in range(steps):
+        if i % max(resample_every, 1) == 0:
+            rkey = jax.random.fold_in(key, i)
+        theta, state, loss = step(theta, state, rkey, target01)
+        losses.append(float(loss))
+        if log_fn is not None:
+            log_fn(i, losses[-1])
+    return jax.nn.sigmoid(theta), losses

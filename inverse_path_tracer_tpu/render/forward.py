@@ -249,14 +249,17 @@ def _render_tile(
     tkey = jax.random.fold_in(key, start_idx // tile)
 
     p, d = camera_rays(scene, cfg, tkey, idx)
-    zero3 = jnp.zeros((tile, 3), dtype=jnp.float32)
+    # Derive the zero/one inits from p so they carry the same
+    # varying-axis type as the ray state under shard_map (a plain
+    # jnp.zeros would be "replicated" and trip the scan carry check).
+    zero3 = p * 0.0
     state = _BounceState(
         ray_p=p,
         ray_d=d,
         radiance=zero3,
         l_e=zero3,
         l_d=zero3,
-        prev_mult=jnp.ones((tile, 3), dtype=jnp.float32),
+        prev_mult=zero3 + 1.0,
         alive=in_range,
     )
 
@@ -268,6 +271,37 @@ def _render_tile(
     return state.radiance, jnp.sum(segs), jnp.sum(shadows)
 
 
+def render_range(
+    materials: jnp.ndarray,
+    scene: SceneData,
+    key: jax.Array,
+    cfg: RenderConfig,
+    start: jnp.ndarray,
+    count: int,
+) -> Tuple[jnp.ndarray, RenderStats]:
+    """Radiance for `count` consecutive global sample indices beginning at
+    `start` (a multiple of the tile size), streamed in cfg.tile_size
+    tiles.  This is the shardable unit: per-sample RNG is keyed by the
+    *global* tile index (start//tile), so a render split across N chips
+    is bit-identical to the single-chip render."""
+    tile = min(cfg.tile_size, count)
+    n_tiles = -(-count // tile)
+
+    # Rematerialize whole tiles: without this, AD through the tile map
+    # stores every bounce carry for every tile at once
+    # (n_tiles x bounces x tile x 3 floats x ~6 arrays — tens of GB at
+    # 512x512x64spp).  With it, the backward pass replays one tile's
+    # bounce scan at a time, bounding residuals to O(tile x bounces).
+    @jax.checkpoint
+    def tile_fn(tile_start):
+        return _render_tile(materials, scene, cfg, key, tile_start, tile)
+
+    starts = start + jnp.arange(n_tiles, dtype=jnp.int32) * tile
+    vals, segs, shadows = jax.lax.map(tile_fn, starts)
+    stats = RenderStats(segments=jnp.sum(segs), shadow_rays=jnp.sum(shadows))
+    return vals.reshape(-1, 3)[: count], stats
+
+
 def render_samples(
     materials: jnp.ndarray,
     scene: SceneData,
@@ -275,21 +309,12 @@ def render_samples(
     cfg: RenderConfig,
 ) -> Tuple[jnp.ndarray, RenderStats]:
     """Per-sample radiance for all W*H*spp samples (reference
-    renderSample grid path_trace.cu:146-184), streamed through the chip
-    in cfg.tile_size tiles.
+    renderSample grid path_trace.cu:146-184).
 
     Returns (radiance (n_samples, 3), RenderStats)."""
-    total = cfg.n_samples
-    tile = min(cfg.tile_size, total)
-    n_tiles = -(-total // tile)
-
-    def tile_fn(start):
-        return _render_tile(materials, scene, cfg, key, start, tile)
-
-    starts = (jnp.arange(n_tiles, dtype=jnp.int32)) * tile
-    vals, segs, shadows = jax.lax.map(tile_fn, starts)
-    stats = RenderStats(segments=jnp.sum(segs), shadow_rays=jnp.sum(shadows))
-    return vals.reshape(-1, 3)[:total], stats
+    return render_range(
+        materials, scene, key, cfg, jnp.int32(0), cfg.n_samples
+    )
 
 
 def render_image(

@@ -1,0 +1,310 @@
+"""Light-transport-graph extraction (the inverse pass).
+
+Capability parity with the reference's libipt `createGraph`
+(inv_path_trace.cu:195-208): re-trace the scene with the same camera,
+and for every path vertex record an edge (dst <- src) annotated with the
+running path weight, the *observed pixel color* of the ray's pixel (read
+from the forward-rendered, tone-mapped image), and — for NEE edges — the
+emitted radiance.  The eye is node index nT (inv_path_trace.cu:177).
+
+CUDA atomics (Edge::update inv_scene.h:26-36, 14 atomicAdd_system per
+edge) become pure-functional segment-sum reductions into dense
+(nT+1, nT, ...) grids carried through the bounce scan — the TPU-native
+replacement for shared-memory atomics; across chips the grids are psum'd.
+
+Inverse-pass conventions replicated exactly (inv_path_trace.cu):
+  * factors[DIFFUSE] = 1/pi if direct else 1 (:8) — the OPPOSITE
+    pi-convention of the forward BSDF (SURVEY.md §3.5(a));
+  * factors[SPECULAR] = specCoeff/P_SPEC if the path sampled specular,
+    else 0 (:13); specular paths are sampled with prob P_SPEC = 0
+    (inv_scene.h:5) and shininess is forced to 0 (:118), so the specular
+    channel is exactly zero with default config;
+  * weight update w *= cos / p_sample / p_RR / (1 - P_SPEC) (:144-145);
+  * the indirect edge is recorded BEFORE the RR test (:128 vs :135), so
+    the terminal vertex still contributes an edge; a missed ray records
+    nothing (:113);
+  * compress() (inv_scene.h:87-115): w = log(w_sum + 1), pixel/light
+    divided by factors_sum (or 1 if zero), then per-dst row
+    normalization of w; only the DIFFUSE channel is exported.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from inverse_path_tracer_tpu.config import RenderConfig
+from inverse_path_tracer_tpu.ops.bsdf import specular_coeff
+from inverse_path_tracer_tpu.ops.intersect import intersect_brute, smooth_normal
+from inverse_path_tracer_tpu.ops.sampling import (
+    pick_emissive,
+    sample_emissive_point,
+    sample_next_dir,
+)
+from inverse_path_tracer_tpu.render.forward import camera_rays, _u
+from inverse_path_tracer_tpu.scene.build import SceneData
+
+PI = 3.141592653589793
+
+# RNG slots for the inverse bounce (distinct from forward's 0-7 is not
+# required — a different render, but keep them disjoint for clarity).
+_SLOT_SPEC, _SLOT_NEE_PICK, _SLOT_NEE_R1, _SLOT_NEE_R2, _SLOT_RR, _SLOT_PHI, _SLOT_THETA = (
+    8,
+    9,
+    10,
+    11,
+    12,
+    13,
+    14,
+)
+
+
+class TransportGrids(NamedTuple):
+    """Dense edge accumulators; leading dim is the flattened (dst, src)
+    grid of (nT+1) * nT bins (dst == nT is the eye row)."""
+
+    w_sum: jnp.ndarray  # (B,)
+    pixel_sum: jnp.ndarray  # (B, 2, 3)  [channel: DIFFUSE, SPECULAR]
+    light_sum: jnp.ndarray  # (B, 2, 3)
+    factors_sum: jnp.ndarray  # (B, 2)
+    count: jnp.ndarray  # (B,) edge visit count (Edge::n; not exported)
+
+
+def _zero_grids(n_tri: int, like: jnp.ndarray) -> TransportGrids:
+    b = (n_tri + 1) * n_tri
+    z = jnp.zeros((b,), dtype=jnp.float32) * like.sum() * 0.0
+    return TransportGrids(
+        w_sum=z,
+        pixel_sum=jnp.zeros((b, 2, 3)) + z[:, None, None],
+        light_sum=jnp.zeros((b, 2, 3)) + z[:, None, None],
+        factors_sum=jnp.zeros((b, 2)) + z[:, None],
+        count=z,
+    )
+
+
+def _edge_update(
+    grids: TransportGrids,
+    n_tri: int,
+    dst: jnp.ndarray,  # (N,) int32 in [0, nT]
+    src: jnp.ndarray,  # (N,) int32 in [0, nT)
+    w: jnp.ndarray,  # (N,)
+    pixel: jnp.ndarray,  # (N, 3)
+    light: jnp.ndarray,  # (N, 3)
+    factors: jnp.ndarray,  # (N, 2)
+    mask: jnp.ndarray,  # (N,) bool
+) -> TransportGrids:
+    """Edge::update (inv_scene.h:26-36) for a batch of lanes: masked
+    segment-sum into the dense grid (atomics -> reduction)."""
+    b = (n_tri + 1) * n_tri
+    flat = dst * n_tri + src
+    flat = jnp.where(mask, flat, b)  # out-of-range bin is dropped
+    w_m = jnp.where(mask, w, 0.0)
+    wf = w_m[:, None] * factors  # (N, 2)
+    seg = lambda vals: jax.ops.segment_sum(vals, flat, num_segments=b + 1)[:b]
+    return TransportGrids(
+        w_sum=grids.w_sum + seg(w_m),
+        pixel_sum=grids.pixel_sum + seg(wf[:, :, None] * pixel[:, None, :]),
+        light_sum=grids.light_sum + seg(wf[:, :, None] * light[:, None, :]),
+        factors_sum=grids.factors_sum + seg(wf),
+        count=grids.count + seg(mask.astype(jnp.float32)),
+    )
+
+
+class _InvState(NamedTuple):
+    ray_p: jnp.ndarray
+    ray_d: jnp.ndarray
+    weight: jnp.ndarray  # (N,)
+    factors: jnp.ndarray  # (N, 2) previous-bounce BSDF factors
+    dst: jnp.ndarray  # (N,) int32 previous node (nT = eye)
+    alive: jnp.ndarray
+    grids: TransportGrids
+
+
+def _inv_bounce(
+    scene: SceneData,
+    cfg: RenderConfig,
+    key: jax.Array,
+    pixel_colors: jnp.ndarray,  # (N, 3) observed pixel color per lane
+    state: _InvState,
+    bounce,
+) -> _InvState:
+    """One inverse bounce (inv_path_trace.cu radiance :109-150 +
+    directLighting :16-87)."""
+    n_tri = scene.n_tri
+    n = state.ray_p.shape[0]
+    isect = intersect_brute(scene, state.ray_p, state.ray_d, cfg.min_dot, cfg.epsilon)
+    hit_act = state.alive & isect.hit
+    src = isect.tri
+
+    # Indirect edge: (dst, src, prev weight, pixel, 0, prev factors) (:128).
+    grids = _edge_update(
+        state.grids,
+        n_tri,
+        state.dst,
+        src,
+        state.weight,
+        pixel_colors,
+        jnp.zeros_like(pixel_colors),
+        state.factors,
+        hit_act,
+    )
+
+    # Path type for THIS vertex (:117-118): specular with prob P_SPEC,
+    # shininess forced to 0.
+    u_spec = _u(key, bounce, _SLOT_SPEC, n)
+    is_specular = u_spec < cfg.p_spec
+    shininess = jnp.zeros((n,), dtype=jnp.float32)
+
+    # --- NEE edge (directLighting :16-87) ---
+    if scene.n_emissive > 0:
+        u_pick = _u(key, bounce, _SLOT_NEE_PICK, n)
+        r1 = _u(key, bounce, _SLOT_NEE_R1, n)
+        r2 = _u(key, bounce, _SLOT_NEE_R2, n)
+        t_emm, p_t = pick_emissive(scene, u_pick)
+        emm_point = sample_emissive_point(scene, t_emm, r1, r2)
+        to_light = emm_point - isect.point
+        to_light = to_light / jnp.linalg.norm(to_light, axis=-1, keepdims=True)
+        shade_n = smooth_normal(scene, src, isect.point)
+        cos_theta = jnp.sum(shade_n * to_light, axis=-1)
+        ok = hit_act & (cos_theta >= 0.0)
+        shadow = intersect_brute(scene, isect.point, to_light, cfg.min_dot, cfg.epsilon)
+        ok = ok & shadow.hit
+        light_n = smooth_normal(scene, t_emm, shadow.point)
+        cos_theta_p = -jnp.sum(light_n * to_light, axis=-1)
+        ok = ok & (cos_theta_p >= 0.0) & (shadow.tri == t_emm)
+
+        nee_w = (
+            state.weight
+            * cos_theta
+            * cos_theta_p
+            / jnp.where(ok, shadow.t, 1.0) ** 2
+            / p_t
+        )
+        # Inverse BSDF factors, direct variant (:6-14, :79):
+        # DIFFUSE = 1/pi; SPECULAR = specCoeff / P_SPEC if specular path.
+        spec_c = specular_coeff(shininess, shade_n, state.ray_d, to_light)
+        f_spec = jnp.where(
+            is_specular, spec_c / max(cfg.p_spec, 1e-30), 0.0
+        )
+        nee_factors = jnp.stack([jnp.full((n,), 1.0 / PI), f_spec], axis=-1)
+        grids = _edge_update(
+            grids,
+            n_tri,
+            src,  # dst = current triangle (:82)
+            t_emm,  # src = emissive triangle (:81)
+            nee_w,
+            pixel_colors,
+            scene.emission[t_emm],
+            nee_factors,
+            ok,
+        )
+
+    # --- Russian roulette + next bounce setup (:134-147) ---
+    u_rr = _u(key, bounce, _SLOT_RR, n)
+    cont = hit_act & (u_rr < cfg.p_rr)
+    u_phi = _u(key, bounce, _SLOT_PHI, n)
+    u_theta = _u(key, bounce, _SLOT_THETA, n)
+    next_dir, pdf = sample_next_dir(
+        scene.face_normal[src], is_specular, shininess, u_phi, u_theta
+    )
+    shade_n2 = smooth_normal(scene, src, isect.point)
+    # Indirect factors for the NEXT edge (:142): DIFFUSE = 1.
+    spec_c2 = specular_coeff(shininess, shade_n2, state.ray_d, next_dir)
+    f_spec2 = jnp.where(is_specular, spec_c2 / max(cfg.p_spec, 1e-30), 0.0)
+    next_factors = jnp.stack([jnp.ones((n,)), f_spec2], axis=-1)
+
+    cosine = jnp.sum(next_dir * shade_n2, axis=-1)
+    p_branch = jnp.where(is_specular, cfg.p_spec, 1.0 - cfg.p_spec)
+    w_next = (
+        state.weight
+        * cosine
+        / jnp.where(pdf > 0, pdf, 1.0)
+        / cfg.p_rr
+        / p_branch
+    )
+    w_next = jnp.where(pdf > 0, w_next, 0.0)
+
+    return _InvState(
+        ray_p=jnp.where(cont[:, None], isect.point, state.ray_p),
+        ray_d=jnp.where(cont[:, None], next_dir, state.ray_d),
+        weight=jnp.where(cont, w_next, state.weight),
+        factors=jnp.where(cont[:, None], next_factors, state.factors),
+        dst=jnp.where(cont, src, state.dst),
+        alive=cont,
+        grids=grids,
+    )
+
+
+def trace_transport_range(
+    scene: SceneData,
+    target_image01: jnp.ndarray,  # (H, W, 3) float in [0,1] (PNG / 255)
+    key: jax.Array,
+    cfg: RenderConfig,
+    start: jnp.ndarray,
+    count: int,
+) -> TransportGrids:
+    """Accumulate transport grids for `count` samples starting at `start`
+    (the shardable unit; grids from shards/chips sum)."""
+    n_tri = scene.n_tri
+    target_flat = target_image01.reshape(-1, 3)
+    tile = min(cfg.tile_size, count)
+    n_tiles = -(-count // tile)
+
+    def tile_fn(carry_grids, tile_start):
+        idx = tile_start + jnp.arange(tile, dtype=jnp.int32)
+        in_range = idx < cfg.n_samples
+        tkey = jax.random.fold_in(key, tile_start // tile)
+        p, d = camera_rays(scene, cfg, tkey, idx)
+        pix_idx = jnp.clip(idx // cfg.spp, 0, cfg.width * cfg.height - 1)
+        pixel_colors = target_flat[pix_idx]
+        zero3 = p * 0.0
+        state = _InvState(
+            ray_p=p,
+            ray_d=d,
+            weight=zero3[:, 0] + 1.0,
+            factors=jnp.stack([zero3[:, 0] + 1.0, zero3[:, 0] + 1.0], axis=-1),
+            dst=jnp.full((tile,), n_tri, dtype=jnp.int32) + (idx * 0),
+            alive=in_range,
+            grids=carry_grids,
+        )
+        step = jax.checkpoint(
+            lambda s, b: (_inv_bounce(scene, cfg, tkey, pixel_colors, s, b), None)
+        )
+        state, _ = jax.lax.scan(step, state, jnp.arange(cfg.max_bounces, dtype=jnp.int32))
+        return state.grids, None
+
+    grids0 = _zero_grids(n_tri, jnp.float32(0.0))
+    starts = start + jnp.arange(n_tiles, dtype=jnp.int32) * tile
+    grids, _ = jax.lax.scan(tile_fn, grids0, starts)
+    return grids
+
+
+def compress_grids(grids: TransportGrids, n_tri: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """DataWrapper::compress (inv_scene.h:87-115): returns
+    (w (nT+1, nT) row-normalized log weights,
+     pixel (nT+1, nT, 3) DIFFUSE channel,
+     light (nT+1, nT, 3) DIFFUSE channel)."""
+    w = jnp.log(grids.w_sum + 1.0).reshape(n_tri + 1, n_tri)
+    f = grids.factors_sum
+    denom = jnp.where(f != 0.0, f, 1.0)  # (B, 2)
+    pixel = (grids.pixel_sum / denom[:, :, None])[:, 0, :].reshape(n_tri + 1, n_tri, 3)
+    light = (grids.light_sum / denom[:, :, None])[:, 0, :].reshape(n_tri + 1, n_tri, 3)
+    row = w.sum(axis=1, keepdims=True)
+    w = jnp.where(row != 0.0, w / jnp.where(row != 0.0, row, 1.0), 0.0)
+    return w, pixel, light
+
+
+def extract_graph(
+    scene: SceneData,
+    target_image01: jnp.ndarray,
+    key: jax.Array,
+    cfg: RenderConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Full-image transport extraction (reference generate_data
+    ipt_cuda.py:136-165, single chip).  Returns (w, pixel, light)."""
+    grids = trace_transport_range(
+        scene, target_image01, key, cfg, jnp.int32(0), cfg.n_samples
+    )
+    return compress_grids(grids, scene.n_tri)
