@@ -63,6 +63,40 @@ def intersect_brute(
     return Intersection(t=t_best, tri=jnp.where(hit, idx, 0), point=point, hit=hit)
 
 
+def intersect_fast(
+    scene: SceneData,
+    p: jnp.ndarray,
+    d: jnp.ndarray,
+    min_dot: float = 1e-4,
+    epsilon: float = 1e-2,
+) -> Intersection:
+    """Same contract as intersect_brute, restructured for the TPU:
+    all eight (R,3)x(3,T) sweeps collapse into two (R,4)x(4,4T) matmuls
+    against the packed homogeneous plane matrix (SceneData.plane_mat),
+    and the min/argmin run over one fused (R,T) mask."""
+    n_t = scene.vertices.shape[0]
+    ones = jnp.ones_like(p[:, :1])
+    p4 = jnp.concatenate([p, ones], axis=-1)  # (R, 4)
+    d4 = jnp.concatenate([d, ones * 0.0], axis=-1)
+
+    a = (p4 @ scene.plane_mat).reshape(-1, n_t, 4)  # (R, T, 4)
+    b = (d4 @ scene.plane_mat).reshape(-1, n_t, 4)
+
+    denom = b[..., 0]
+    t = a[..., 0] / (-denom)
+    inside = (jnp.abs(denom) >= min_dot) & (t >= epsilon)
+    sd = a[..., 1:] + t[..., None] * b[..., 1:]  # (R, T, 3)
+    inside = inside & jnp.all(sd <= 0.0, axis=-1)
+
+    t_masked = jnp.where(inside, t, jnp.inf)
+    t_best = jnp.min(t_masked, axis=1)
+    idx = jnp.argmin(t_masked, axis=1).astype(jnp.int32)
+    hit = jnp.isfinite(t_best)
+    t_safe = jnp.where(hit, t_best, 0.0)
+    point = p + d * t_safe[:, None]
+    return Intersection(t=t_best, tri=jnp.where(hit, idx, 0), point=point, hit=hit)
+
+
 def _safe_normalize(v: jnp.ndarray) -> jnp.ndarray:
     """Eigen normalize(): no-op on zero vectors (MatrixBase::normalize
     guards squaredNorm() > 0)."""
@@ -77,7 +111,11 @@ def smooth_normal(scene: SceneData, tri: jnp.ndarray, point: jnp.ndarray) -> jnp
     normal = normalize(sum_i w_i * n_i).
 
     For meshes without vertex normals all n_i equal the face normal, so
-    this returns the face normal exactly."""
+    this returns the face normal exactly — and the scene builder signals
+    that case statically with an empty (nT, 0, 3) normals array, letting
+    the whole interpolation compile away to one gather."""
+    if scene.vertex_normals.shape[1] == 0:
+        return scene.face_normal[tri]
     v = scene.vertices[tri]  # (R, 3, 3)
     ns = scene.vertex_normals[tri]  # (R, 3, 3)
     area = scene.area[tri]  # (R,)

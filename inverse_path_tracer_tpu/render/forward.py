@@ -44,7 +44,12 @@ import jax.numpy as jnp
 
 from inverse_path_tracer_tpu.config import RenderConfig
 from inverse_path_tracer_tpu.ops.bsdf import bsdf_diagonal
-from inverse_path_tracer_tpu.ops.intersect import Intersection, intersect_brute, smooth_normal
+from inverse_path_tracer_tpu.ops.intersect import (
+    Intersection,
+    intersect_brute,
+    intersect_fast,
+    smooth_normal,
+)
 from inverse_path_tracer_tpu.ops.sampling import (
     pick_emissive,
     sample_emissive_point,
@@ -100,8 +105,7 @@ def direct_lighting(
     materials: jnp.ndarray,
     scene: SceneData,
     cfg: RenderConfig,
-    key: jax.Array,
-    bounce,
+    u_nee: jnp.ndarray,  # (3, R) uniforms: pick, r1, r2
     ray_d: jnp.ndarray,
     isect: Intersection,
 ) -> jnp.ndarray:
@@ -114,9 +118,7 @@ def direct_lighting(
     if scene.n_emissive == 0:
         return jnp.zeros((n, 3), dtype=ray_d.dtype)
 
-    u_pick = _u(key, bounce, _SLOT_NEE_PICK, n)
-    r1 = _u(key, bounce, _SLOT_NEE_R1, n)
-    r2 = _u(key, bounce, _SLOT_NEE_R2, n)
+    u_pick, r1, r2 = u_nee[0], u_nee[1], u_nee[2]
 
     t_emm, p_t = pick_emissive(scene, u_pick)
     emm_point = sample_emissive_point(scene, t_emm, r1, r2)
@@ -128,7 +130,7 @@ def direct_lighting(
     cos_theta = jnp.sum(shade_n * to_light, axis=-1)
     ok = cos_theta >= 0.0  # reference rejects cos < 0 strictly (:71)
 
-    shadow = intersect_brute(scene, isect.point, to_light, cfg.min_dot, cfg.epsilon)
+    shadow = intersect_fast(scene, isect.point, to_light, cfg.min_dot, cfg.epsilon)
     ok = ok & shadow.hit
 
     light_n = smooth_normal(scene, t_emm, shadow.point)
@@ -164,7 +166,9 @@ def _bounce_step(
     """One wavefront bounce over all lanes (reference radiance
     path_trace.cu:111-144 + the loop body :175-181)."""
     n = state.ray_p.shape[0]
-    isect = intersect_brute(scene, state.ray_p, state.ray_d, cfg.min_dot, cfg.epsilon)
+    # One threefry dispatch per bounce for all six uniform streams.
+    u = jax.random.uniform(jax.random.fold_in(key, bounce), (6, n))
+    isect = intersect_fast(scene, state.ray_p, state.ray_d, cfg.min_dot, cfg.epsilon)
     act = state.alive
     hit_act = act & isect.hit
 
@@ -180,7 +184,9 @@ def _bounce_step(
 
     # Direct lighting at the current hit (fresh for hits; stale kept for
     # escaping lanes — Q2).
-    l_d_fresh = direct_lighting(materials, scene, cfg, key, bounce, state.ray_d, isect)
+    l_d_fresh = direct_lighting(
+        materials, scene, cfg, u[_SLOT_NEE_PICK : _SLOT_NEE_R2 + 1], state.ray_d, isect
+    )
     l_d = jnp.where(hit_act[:, None], l_d_fresh, state.l_d)
     if cfg.reference_quirks:
         contrib_mask = act  # escaped lanes still add prev*(L_e + stale L_d)
@@ -194,8 +200,7 @@ def _bounce_step(
     )
 
     # Russian roulette (:130-131): continue iff u < p_RR.
-    u_rr = _u(key, bounce, _SLOT_RR, n)
-    cont = hit_act & (u_rr < cfg.p_rr)
+    cont = hit_act & (u[_SLOT_RR] < cfg.p_rr)
 
     # Next direction: sampled around the FACE normal (:134 uses
     # tri->normal), while the throughput cosine uses the smooth normal
@@ -203,10 +208,8 @@ def _bounce_step(
     mat_spec = scene.specular[isect.tri]
     mat_shin = scene.shininess[isect.tri]
     is_specular = (mat_spec != 0.0).any(axis=-1) & (mat_shin != 0.0)
-    u_phi = _u(key, bounce, _SLOT_PHI, n)
-    u_theta = _u(key, bounce, _SLOT_THETA, n)
     next_dir, pdf = sample_next_dir(
-        scene.face_normal[isect.tri], is_specular, mat_shin, u_phi, u_theta
+        scene.face_normal[isect.tri], is_specular, mat_shin, u[_SLOT_PHI], u[_SLOT_THETA]
     )
     shade_n = smooth_normal(scene, isect.tri, isect.point)
     bsdf = bsdf_diagonal(

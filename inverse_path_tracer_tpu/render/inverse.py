@@ -37,7 +37,7 @@ import jax.numpy as jnp
 
 from inverse_path_tracer_tpu.config import RenderConfig
 from inverse_path_tracer_tpu.ops.bsdf import specular_coeff
-from inverse_path_tracer_tpu.ops.intersect import intersect_brute, smooth_normal
+from inverse_path_tracer_tpu.ops.intersect import intersect_fast, smooth_normal
 from inverse_path_tracer_tpu.ops.sampling import (
     pick_emissive,
     sample_emissive_point,
@@ -48,17 +48,8 @@ from inverse_path_tracer_tpu.scene.build import SceneData
 
 PI = 3.141592653589793
 
-# RNG slots for the inverse bounce (distinct from forward's 0-7 is not
-# required — a different render, but keep them disjoint for clarity).
-_SLOT_SPEC, _SLOT_NEE_PICK, _SLOT_NEE_R1, _SLOT_NEE_R2, _SLOT_RR, _SLOT_PHI, _SLOT_THETA = (
-    8,
-    9,
-    10,
-    11,
-    12,
-    13,
-    14,
-)
+# Per-bounce uniforms are one batched (7, N) threefry draw; row order:
+# spec, nee_pick, nee_r1, nee_r2, rr, phi, theta.
 
 
 class TransportGrids(NamedTuple):
@@ -134,7 +125,8 @@ def _inv_bounce(
     directLighting :16-87)."""
     n_tri = scene.n_tri
     n = state.ray_p.shape[0]
-    isect = intersect_brute(scene, state.ray_p, state.ray_d, cfg.min_dot, cfg.epsilon)
+    u = jax.random.uniform(jax.random.fold_in(key, bounce), (7, n))
+    isect = intersect_fast(scene, state.ray_p, state.ray_d, cfg.min_dot, cfg.epsilon)
     hit_act = state.alive & isect.hit
     src = isect.tri
 
@@ -153,15 +145,12 @@ def _inv_bounce(
 
     # Path type for THIS vertex (:117-118): specular with prob P_SPEC,
     # shininess forced to 0.
-    u_spec = _u(key, bounce, _SLOT_SPEC, n)
-    is_specular = u_spec < cfg.p_spec
+    is_specular = u[0] < cfg.p_spec
     shininess = jnp.zeros((n,), dtype=jnp.float32)
 
     # --- NEE edge (directLighting :16-87) ---
     if scene.n_emissive > 0:
-        u_pick = _u(key, bounce, _SLOT_NEE_PICK, n)
-        r1 = _u(key, bounce, _SLOT_NEE_R1, n)
-        r2 = _u(key, bounce, _SLOT_NEE_R2, n)
+        u_pick, r1, r2 = u[1], u[2], u[3]
         t_emm, p_t = pick_emissive(scene, u_pick)
         emm_point = sample_emissive_point(scene, t_emm, r1, r2)
         to_light = emm_point - isect.point
@@ -169,7 +158,7 @@ def _inv_bounce(
         shade_n = smooth_normal(scene, src, isect.point)
         cos_theta = jnp.sum(shade_n * to_light, axis=-1)
         ok = hit_act & (cos_theta >= 0.0)
-        shadow = intersect_brute(scene, isect.point, to_light, cfg.min_dot, cfg.epsilon)
+        shadow = intersect_fast(scene, isect.point, to_light, cfg.min_dot, cfg.epsilon)
         ok = ok & shadow.hit
         light_n = smooth_normal(scene, t_emm, shadow.point)
         cos_theta_p = -jnp.sum(light_n * to_light, axis=-1)
@@ -202,12 +191,9 @@ def _inv_bounce(
         )
 
     # --- Russian roulette + next bounce setup (:134-147) ---
-    u_rr = _u(key, bounce, _SLOT_RR, n)
-    cont = hit_act & (u_rr < cfg.p_rr)
-    u_phi = _u(key, bounce, _SLOT_PHI, n)
-    u_theta = _u(key, bounce, _SLOT_THETA, n)
+    cont = hit_act & (u[4] < cfg.p_rr)
     next_dir, pdf = sample_next_dir(
-        scene.face_normal[src], is_specular, shininess, u_phi, u_theta
+        scene.face_normal[src], is_specular, shininess, u[5], u[6]
     )
     shade_n2 = smooth_normal(scene, src, isect.point)
     # Indirect factors for the NEXT edge (:142): DIFFUSE = 1.

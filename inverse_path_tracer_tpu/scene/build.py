@@ -53,7 +53,12 @@ class SceneData(NamedTuple):
     """
 
     vertices: jnp.ndarray  # (nT, 3, 3)  [tri, corner, xyz]
-    vertex_normals: jnp.ndarray  # (nT, 3, 3) per-corner shading normals
+    # Per-corner shading normals, (nT, 3, 3) — OR (nT, 0, 3) when no
+    # object supplies vertex normals.  The empty second dim is a *static*
+    # signal (shapes are static under jit) that lets smooth_normal skip
+    # the barycentric interpolation entirely: for flat meshes
+    # Triangle::getNormal degenerates to the face normal exactly.
+    vertex_normals: jnp.ndarray
     face_normal: jnp.ndarray  # (nT, 3) unit geometric normal
     center: jnp.ndarray  # (nT, 3) centroid
     area: jnp.ndarray  # (nT,)
@@ -67,6 +72,14 @@ class SceneData(NamedTuple):
     emissive_p: jnp.ndarray  # (nE,) selection prob = area_i / sum(area)
     emissive_cdf: jnp.ndarray  # (nE,) inclusive cumsum of emissive_p
     cam_m33: jnp.ndarray  # (3, 3) ray transform (see module docstring)
+    # Packed homogeneous plane equations for the fast intersector:
+    # (4, 4*nT), column block t holds 4 plane 4-vectors [P0 E0 E1 E2]
+    # with P0 = (n, -c.n) and Ej = (out_j, d_j), so that for homogeneous
+    # p4 = (p, 1), d4 = (d, 0):
+    #   A = p4 @ planes, B = d4 @ planes;
+    #   t = A[..,0] / -B[..,0];  sd_j = A[..,1+j] + t * B[..,1+j].
+    # Two (R,4)x(4,4T) matmuls replace the eight (R,3)x(3,T) sweeps.
+    plane_mat: jnp.ndarray
 
     @property
     def n_tri(self) -> int:
@@ -169,7 +182,9 @@ def _build_object(obj: ObjectParams, asset_root: Optional[str]) -> _HostMesh:
     if use_vn:
         tri_n = vn[mesh.face_normals_idx]
     else:
-        tri_n = np.repeat(face_n[:, None, :], 3, axis=1)
+        # Marker: empty normals; resolved in build_scene (kept empty when
+        # NO object has vertex normals, else filled with face normals).
+        tri_n = np.zeros((t, 0, 3))
 
     diffuse = np.zeros((t, 3))
     specular = np.zeros((t, 3))
@@ -204,7 +219,25 @@ def build_scene(
     meshes = [_build_object(o, asset_root) for o in objects]
 
     vertices = np.concatenate([m.vertices for m in meshes], axis=0)
-    vertex_normals = np.concatenate([m.vertex_normals for m in meshes], axis=0)
+    # Shading normals: if NO object has vertex normals the array stays
+    # (nT, 0, 3) — the static flat-shading signal; if any object has
+    # them, flat objects get their face normal at each corner (reference
+    # scene_basics.h:93-95 does the same per triangle).
+    if all(m.vertex_normals.shape[1] == 0 for m in meshes):
+        vertex_normals = np.zeros((vertices.shape[0], 0, 3), dtype=np.float32)
+    else:
+        filled = []
+        for m in meshes:
+            if m.vertex_normals.shape[1] == 0:
+                a = m.vertices[:, 1] - m.vertices[:, 0]
+                b = m.vertices[:, 2] - m.vertices[:, 1]
+                cr = np.cross(a, b)
+                nn = np.linalg.norm(cr, axis=-1, keepdims=True)
+                fn = np.where(nn > 0, cr / np.where(nn > 0, nn, 1.0), 0.0)
+                filled.append(np.repeat(fn[:, None, :], 3, axis=1).astype(np.float32))
+            else:
+                filled.append(m.vertex_normals)
+        vertex_normals = np.concatenate(filled, axis=0)
     diffuse = np.concatenate([m.diffuse for m in meshes], axis=0)
     specular = np.concatenate([m.specular for m in meshes], axis=0)
     emission = np.concatenate([m.emission for m in meshes], axis=0)
@@ -235,6 +268,18 @@ def build_scene(
         edge_out[:, j] = out
         edge_d[:, j] = -np.sum(out * (s1 + s0), axis=-1) / 2.0
 
+    # Packed plane matrix for the 2-matmul intersector (see SceneData).
+    n_t = vertices.shape[0]
+    planes = np.zeros((n_t, 4, 4), dtype=np.float32)
+    planes[:, 0, :3] = face_normal
+    planes[:, 0, 3] = -np.sum(center * face_normal, axis=-1)
+    for j in range(3):
+        planes[:, 1 + j, :3] = edge_out[:, j]
+        planes[:, 1 + j, 3] = edge_d[:, j]
+    plane_mat = np.ascontiguousarray(
+        planes.transpose(2, 0, 1).reshape(4, 4 * n_t)
+    )
+
     emissive_mask = (emission > 0).any(axis=-1)
     emissive_idx = np.nonzero(emissive_mask)[0].astype(np.int32)
     e_area = area[emissive_idx].astype(np.float32)
@@ -258,6 +303,7 @@ def build_scene(
         emissive_p=jnp.asarray(emissive_p.astype(np.float32)),
         emissive_cdf=jnp.asarray(emissive_cdf),
         cam_m33=jnp.asarray(camera_matrix(camera)),
+        plane_mat=jnp.asarray(plane_mat),
     )
 
 

@@ -4,7 +4,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from inverse_path_tracer_tpu.ops.intersect import intersect_brute, smooth_normal
+from inverse_path_tracer_tpu.ops.intersect import (
+    intersect_brute,
+    intersect_fast,
+    smooth_normal,
+)
 from inverse_path_tracer_tpu.ops.sampling import (
     rotate_z_to,
     sample_next_dir,
@@ -54,6 +58,29 @@ def test_intersect_miss(cornell_scene):
     isect = intersect_brute(cornell_scene, p, d)
     assert not bool(isect.hit[0])
     assert np.isinf(float(isect.t[0]))
+
+
+def test_intersect_fast_matches_brute(cornell_scene):
+    """The 2-matmul homogeneous intersector is the oracle-checked twin of
+    the 8-matmul brute sweep."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    p = jnp.asarray(
+        rng.uniform(-1.5, 1.5, size=(512, 3)) + np.array([0, 0, 4.0]),
+        dtype=jnp.float32,
+    )
+    d = rng.normal(size=(512, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d, dtype=jnp.float32)
+    a = intersect_brute(cornell_scene, p, d)
+    b = intersect_fast(cornell_scene, p, d)
+    np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+    hits = np.asarray(a.hit)
+    np.testing.assert_array_equal(np.asarray(a.tri)[hits], np.asarray(b.tri)[hits])
+    np.testing.assert_allclose(
+        np.asarray(a.t)[hits], np.asarray(b.t)[hits], rtol=1e-5
+    )
 
 
 def test_smooth_normal_flat(cornell_scene):
