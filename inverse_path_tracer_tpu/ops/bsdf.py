@@ -42,6 +42,22 @@ def specular_coeff(
     return (shininess + 2.0) / 2.0 / PI * powed
 
 
+def bsdf_from_values(
+    kd: jnp.ndarray,  # (R, 3)
+    spec: jnp.ndarray,  # (R, 3)
+    shininess: jnp.ndarray,  # (R,)
+    shade_normal: jnp.ndarray,  # (R, 3)
+    w: jnp.ndarray,
+    w_i: jnp.ndarray,
+    is_direct: bool,
+) -> jnp.ndarray:
+    """bsdf_diagonal with per-lane material values already resolved
+    (the gather-free hot path: values come from sel @ table matmuls)."""
+    diffuse = kd if is_direct else kd / PI
+    coeff = specular_coeff(shininess, shade_normal, w, w_i)
+    return diffuse + spec * coeff[:, None]
+
+
 def bsdf_diagonal(
     materials: jnp.ndarray,  # (nT, 3) learnable Kd
     scene: SceneData,

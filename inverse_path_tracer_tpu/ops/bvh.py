@@ -51,9 +51,29 @@ class BVHData(NamedTuple):
         return self.start.shape[0]
 
 
-def build_bvh(scene: SceneData, leaf_size: int = 4) -> BVHData:
+def build_bvh(scene: SceneData, leaf_size: int = 4, use_native=None) -> BVHData:
     """Midpoint split on the largest centroid-extent axis (the
-    reference's split rule, bvh.h:175-190), recursing over triangles."""
+    reference's split rule, bvh.h:175-190), recursing over triangles.
+    Uses the C++ builder (native/src/ipt_native.cpp) when available;
+    both paths are oracle-tested identical."""
+    import os as _os
+
+    if use_native is None:
+        use_native = not _os.environ.get("IPT_NO_NATIVE")
+    if use_native:
+        from inverse_path_tracer_tpu.utils import native
+
+        if native.native_available():
+            nat = native.build_bvh_native(np.asarray(scene.vertices), leaf_size)
+            if nat is not None:
+                return BVHData(
+                    bbox_min=jnp.asarray(nat["bbox_min"]),
+                    bbox_max=jnp.asarray(nat["bbox_max"]),
+                    start=jnp.asarray(nat["start"]),
+                    n_prims=jnp.asarray(nat["n_prims"]),
+                    right_offset=jnp.asarray(nat["right_offset"]),
+                    tri_order=jnp.asarray(nat["tri_order"]),
+                )
     verts = np.asarray(scene.vertices)  # (nT, 3, 3)
     n_t = verts.shape[0]
     cents = verts.mean(axis=1)

@@ -97,6 +97,46 @@ def intersect_fast(
     return Intersection(t=t_best, tri=jnp.where(hit, idx, 0), point=point, hit=hit)
 
 
+def intersect_onehot(
+    scene: SceneData,
+    p: jnp.ndarray,
+    d: jnp.ndarray,
+    min_dot: float = 1e-4,
+    epsilon: float = 1e-2,
+):
+    """intersect_fast + a one-hot hit-selection matrix sel (R, T) f32
+    (zero row on miss, ties resolved to the lowest triangle index).
+
+    sel turns every per-hit table lookup into `sel @ table` — a matmul
+    instead of a gather.  On TPU this is the difference between MXU work
+    and serialized gather/scatter (and the *transpose* of a matmul is a
+    matmul, so backward passes stay fast, while a gather transposes to a
+    scatter)."""
+    n_t = scene.vertices.shape[0]
+    ones = jnp.ones_like(p[:, :1])
+    p4 = jnp.concatenate([p, ones], axis=-1)
+    d4 = jnp.concatenate([d, ones * 0.0], axis=-1)
+    a = (p4 @ scene.plane_mat).reshape(-1, n_t, 4)
+    b = (d4 @ scene.plane_mat).reshape(-1, n_t, 4)
+    denom = b[..., 0]
+    t = a[..., 0] / (-denom)
+    inside = (jnp.abs(denom) >= min_dot) & (t >= epsilon)
+    sd = a[..., 1:] + t[..., None] * b[..., 1:]
+    inside = inside & jnp.all(sd <= 0.0, axis=-1)
+
+    t_masked = jnp.where(inside, t, jnp.inf)
+    t_best = jnp.min(t_masked, axis=1)
+    hit = jnp.isfinite(t_best)
+    m = inside & (t_masked == t_best[:, None])
+    m = m & (jnp.cumsum(m, axis=1) == 1)  # first occurrence on exact ties
+    sel = m.astype(p.dtype)
+    idx = jnp.argmax(m, axis=1).astype(jnp.int32)
+    t_safe = jnp.where(hit, t_best, 0.0)
+    point = p + d * t_safe[:, None]
+    isect = Intersection(t=t_best, tri=jnp.where(hit, idx, 0), point=point, hit=hit)
+    return isect, sel
+
+
 def _safe_normalize(v: jnp.ndarray) -> jnp.ndarray:
     """Eigen normalize(): no-op on zero vectors (MatrixBase::normalize
     guards squaredNorm() > 0)."""

@@ -43,18 +43,13 @@ import jax
 import jax.numpy as jnp
 
 from inverse_path_tracer_tpu.config import RenderConfig
-from inverse_path_tracer_tpu.ops.bsdf import bsdf_diagonal
+from inverse_path_tracer_tpu.ops.bsdf import bsdf_from_values
 from inverse_path_tracer_tpu.ops.intersect import (
     Intersection,
-    intersect_brute,
-    intersect_fast,
+    intersect_onehot,
     smooth_normal,
 )
-from inverse_path_tracer_tpu.ops.sampling import (
-    pick_emissive,
-    sample_emissive_point,
-    sample_next_dir,
-)
+from inverse_path_tracer_tpu.ops.sampling import sample_next_dir
 from inverse_path_tracer_tpu.ops.tonemap import tonemap_mean, tonemap_to_uint8
 from inverse_path_tracer_tpu.scene.build import SceneData
 
@@ -101,46 +96,86 @@ def camera_rays(
     return p, d
 
 
+def _emissive_table(scene: SceneData) -> jnp.ndarray:
+    """(E, 17) packed per-emissive table: verts 0:9, emission 9:12,
+    face_normal 12:15, global tri index 15, selection prob 16.  Rows are
+    fetched with a one-hot matmul — no R-sized gathers in the hot loop."""
+    ev = scene.vertices[scene.emissive_idx].reshape(-1, 9)
+    ee = scene.emission[scene.emissive_idx]
+    en = scene.face_normal[scene.emissive_idx]
+    ei = scene.emissive_idx.astype(jnp.float32)[:, None]
+    ep = scene.emissive_p[:, None]
+    return jnp.concatenate([ev, ee, en, ei, ep], axis=1)
+
+
 def direct_lighting(
-    materials: jnp.ndarray,
     scene: SceneData,
     cfg: RenderConfig,
     u_nee: jnp.ndarray,  # (3, R) uniforms: pick, r1, r2
     ray_d: jnp.ndarray,
     isect: Intersection,
+    shade_n: jnp.ndarray,  # (R, 3) smooth normal at the hit
+    kd: jnp.ndarray,  # (R, 3) per-lane material values (sel @ table)
+    spec: jnp.ndarray,  # (R, 3)
+    shin: jnp.ndarray,  # (R,)
 ) -> jnp.ndarray:
-    """Next-event estimation (reference directLighting path_trace.cu:30-89).
-
-    Returns the (R,3) direct radiance (zero where any visibility /
-    orientation check fails).  Scenes with no emissives return zero
-    (static shape check, path_trace.cu:34)."""
+    """Next-event estimation (reference directLighting path_trace.cu:30-89),
+    gather-free.  Returns the (R,3) direct radiance (zero where any
+    visibility / orientation check fails).  Scenes with no emissives
+    return zero (static shape check, path_trace.cu:34)."""
     n = ray_d.shape[0]
     if scene.n_emissive == 0:
         return jnp.zeros((n, 3), dtype=ray_d.dtype)
 
     u_pick, r1, r2 = u_nee[0], u_nee[1], u_nee[2]
+    n_e = scene.n_emissive
 
-    t_emm, p_t = pick_emissive(scene, u_pick)
-    emm_point = sample_emissive_point(scene, t_emm, r1, r2)
+    # CDF pick (path_trace.cu:40-51): first index with cdf >= u.
+    e_idx = jnp.clip(
+        jnp.searchsorted(scene.emissive_cdf, u_pick, side="left"), 0, n_e - 1
+    )
+    onehot_e = (e_idx[:, None] == jnp.arange(n_e)[None, :]).astype(ray_d.dtype)
+    row = onehot_e @ _emissive_table(scene)  # (R, 17)
+
+    # sqrt-barycentric point sample (:55-62).
+    sq = jnp.sqrt(r1)[:, None]
+    r2c = r2[:, None]
+    emm_point = (
+        (1.0 - sq) * row[:, 0:3]
+        + sq * (1.0 - r2c) * row[:, 3:6]
+        + r2c * sq * row[:, 6:9]
+    )
 
     to_light = emm_point - isect.point
     to_light = to_light / jnp.linalg.norm(to_light, axis=-1, keepdims=True)
 
-    shade_n = smooth_normal(scene, isect.tri, isect.point)
     cos_theta = jnp.sum(shade_n * to_light, axis=-1)
     ok = cos_theta >= 0.0  # reference rejects cos < 0 strictly (:71)
 
-    shadow = intersect_fast(scene, isect.point, to_light, cfg.min_dot, cfg.epsilon)
+    shadow, sel_sh = intersect_onehot(
+        scene, isect.point, to_light, cfg.min_dot, cfg.epsilon
+    )
     ok = ok & shadow.hit
 
-    light_n = smooth_normal(scene, t_emm, shadow.point)
+    # Normal of the light at the shadow hit: face normal for flat meshes
+    # (the static fast path); barycentric interpolation otherwise.
+    if scene.vertex_normals.shape[1] == 0:
+        light_n = row[:, 12:15]
+    else:
+        t_emm_i = scene.emissive_idx[e_idx]
+        light_n = smooth_normal(scene, t_emm_i, shadow.point)
     cos_theta_p = -jnp.sum(light_n * to_light, axis=-1)
     ok = ok & (cos_theta_p >= 0.0)
-    ok = ok & (shadow.tri == t_emm)
 
-    l_o = scene.emission[t_emm]  # (R, 3)
-    geom = cos_theta * cos_theta_p / jnp.where(ok, shadow.t, 1.0) ** 2 / p_t
-    bsdf = bsdf_diagonal(materials, scene, isect.tri, shade_n, ray_d, to_light, True)
+    # shadow.tri == t_emm (:81): compare indices in f32 (exact for
+    # indices < 2^24) via the one-hot rows — no gathers.
+    iota_t = jnp.arange(scene.n_tri, dtype=ray_d.dtype)
+    shadow_idx_f = sel_sh @ iota_t
+    ok = ok & (shadow_idx_f == row[:, 15])
+
+    l_o = row[:, 9:12]
+    geom = cos_theta * cos_theta_p / jnp.where(ok, shadow.t, 1.0) ** 2 / row[:, 16]
+    bsdf = bsdf_from_values(kd, spec, shin, shade_n, ray_d, to_light, True)
     out = bsdf * (l_o * geom[:, None])
     return jnp.where(ok[:, None], out, 0.0)
 
@@ -168,12 +203,35 @@ def _bounce_step(
     n = state.ray_p.shape[0]
     # One threefry dispatch per bounce for all six uniform streams.
     u = jax.random.uniform(jax.random.fold_in(key, bounce), (6, n))
-    isect = intersect_fast(scene, state.ray_p, state.ray_d, cfg.min_dot, cfg.epsilon)
+    isect, sel = intersect_onehot(
+        scene, state.ray_p, state.ray_d, cfg.min_dot, cfg.epsilon
+    )
     act = state.alive
     hit_act = act & isect.hit
 
-    # Emission: set at bounce 0 only, never cleared (Q1; :122-124).
-    emission = scene.emission[isect.tri]
+    # All per-hit lookups in one (R,T)@(T,13) matmul: emission 0:3,
+    # specular 3:6, shininess 6, face_normal 7:10, Kd 10:13.  Miss lanes
+    # have a zero sel row -> zero values, which every consumer masks.
+    table = jnp.concatenate(
+        [
+            scene.emission,
+            scene.specular,
+            scene.shininess[:, None],
+            scene.face_normal,
+            materials,
+        ],
+        axis=1,
+    )
+    hv = sel @ table
+    emission = hv[:, 0:3]
+    mat_spec = hv[:, 3:6]
+    mat_shin = hv[:, 6]
+    face_n = hv[:, 7:10]
+    kd = hv[:, 10:13]
+    if scene.vertex_normals.shape[1] == 0:
+        shade_n = face_n
+    else:
+        shade_n = smooth_normal(scene, isect.tri, isect.point)
     if cfg.reference_quirks:
         l_e = jnp.where((hit_act & (bounce == 0))[:, None], emission, state.l_e)
         l_e_contrib = l_e
@@ -185,7 +243,15 @@ def _bounce_step(
     # Direct lighting at the current hit (fresh for hits; stale kept for
     # escaping lanes — Q2).
     l_d_fresh = direct_lighting(
-        materials, scene, cfg, u[_SLOT_NEE_PICK : _SLOT_NEE_R2 + 1], state.ray_d, isect
+        scene,
+        cfg,
+        u[_SLOT_NEE_PICK : _SLOT_NEE_R2 + 1],
+        state.ray_d,
+        isect,
+        shade_n,
+        kd,
+        mat_spec,
+        mat_shin,
     )
     l_d = jnp.where(hit_act[:, None], l_d_fresh, state.l_d)
     if cfg.reference_quirks:
@@ -205,15 +271,12 @@ def _bounce_step(
     # Next direction: sampled around the FACE normal (:134 uses
     # tri->normal), while the throughput cosine uses the smooth normal
     # (:137 uses getNormal).
-    mat_spec = scene.specular[isect.tri]
-    mat_shin = scene.shininess[isect.tri]
     is_specular = (mat_spec != 0.0).any(axis=-1) & (mat_shin != 0.0)
     next_dir, pdf = sample_next_dir(
-        scene.face_normal[isect.tri], is_specular, mat_shin, u[_SLOT_PHI], u[_SLOT_THETA]
+        face_n, is_specular, mat_shin, u[_SLOT_PHI], u[_SLOT_THETA]
     )
-    shade_n = smooth_normal(scene, isect.tri, isect.point)
-    bsdf = bsdf_diagonal(
-        materials, scene, isect.tri, shade_n, state.ray_d, next_dir, False
+    bsdf = bsdf_from_values(
+        kd, mat_spec, mat_shin, shade_n, state.ray_d, next_dir, False
     )
     # pdf can be exactly 0 on measure-zero specular draws (cos(theta)=0);
     # the reference would produce inf throughput there.  Zero the lane

@@ -141,7 +141,21 @@ class ObjMesh:
     mtllibs: List[str]
 
 
-def load_obj(path: str) -> ObjMesh:
+def load_obj(path: str, use_native: Optional[bool] = None) -> ObjMesh:
+    """Parse an OBJ file.  By default the C++ fast path
+    (native/src/ipt_native.cpp, oracle-tested bit-identical in
+    tests/test_native.py) is used when the toolchain is available;
+    set IPT_NO_NATIVE=1 or use_native=False to force pure Python."""
+    import os as _os
+
+    if use_native is None:
+        use_native = not _os.environ.get("IPT_NO_NATIVE")
+    if use_native:
+        from inverse_path_tracer_tpu.utils import native
+
+        mesh = native.load_obj_native(path) if native.native_available() else None
+        if mesh is not None:
+            return mesh
     with open(path, "r") as f:
         lines = f.read().splitlines()
 
