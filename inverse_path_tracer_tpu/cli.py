@@ -171,6 +171,61 @@ def cmd_recover(args):
         print(f"re-rendered with recovered materials -> {args.render_out}")
 
 
+def _newdir(name: str, remove: bool = True) -> None:
+    """rm -rf + mkdir (reference ipt.py:11-15)."""
+    import shutil
+
+    if os.path.isdir(name) and remove:
+        shutil.rmtree(name)
+    os.makedirs(name, exist_ok=True)
+
+
+def _zipdir(name: str) -> None:
+    """Zip a directory tree (reference ipt.py:17-23)."""
+    import zipfile
+
+    with zipfile.ZipFile(f"{name}.zip", "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(name):
+            for fn in files:
+                zf.write(os.path.join(root, fn))
+
+
+def cmd_evaluate(args):
+    """The reference main()'s eval tail (ipt.py:127-140): for each scene,
+    copy the ground-truth render to preds/i_true.png, re-render with the
+    GCN's predicted materials to preds/i_pred.png, then zip preds/."""
+    _maybe_cpu(args)
+    import shutil
+
+    import jax
+    import jax.numpy as jnp
+
+    from inverse_path_tracer_tpu.data.pipeline import render_with_materials
+    from inverse_path_tracer_tpu.models.gcn import build_dense_graph, gcn_forward, init_gcn
+    from inverse_path_tracer_tpu.utils.checkpoint import load_checkpoint
+    from inverse_path_tracer_tpu.utils.metrics import psnr
+
+    cfg = _cfg_from_args(args)
+    params, _ = load_checkpoint(args.params, init_gcn(jax.random.PRNGKey(0)))
+    _newdir(args.out_dir)
+    for i, graph_path in enumerate(args.graphs):
+        with np.load(graph_path) as d:
+            adj, feats = build_dense_graph(jnp.asarray(d["w"]), jnp.asarray(d["pixel"]))
+        preds = gcn_forward(params, adj, feats)
+        scenefile = os.path.join(args.scenes_dir, f"{i}.txt")
+        true_png = os.path.join(args.imgs_dir, f"{i}.png")
+        shutil.copy(true_png, os.path.join(args.out_dir, f"{i}_true.png"))
+        pred_png = os.path.join(args.out_dir, f"{i}_pred.png")
+        render_with_materials(scenefile, pred_png, preds, cfg, asset_root=args.asset_root)
+        from PIL import Image
+
+        a = np.asarray(Image.open(true_png).convert("RGB"), dtype=np.float32) / 255
+        b = np.asarray(Image.open(pred_png).convert("RGB"), dtype=np.float32) / 255
+        print(f"scene {i}: PSNR(true, pred) = {psnr(a, b):.2f} dB")
+    _zipdir(args.out_dir)
+    print(f"wrote {args.out_dir}/ and {args.out_dir}.zip")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="inverse_path_tracer_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -218,6 +273,17 @@ def main(argv=None):
     pv.add_argument("--log-every", type=int, default=10)
     _add_render_args(pv, width=128, height=128, spp=16)
     pv.set_defaults(fn=cmd_recover)
+
+    pe2 = sub.add_parser(
+        "evaluate", help="render preds/ (true vs GCN-predicted) and zip"
+    )
+    pe2.add_argument("params", help="GCN checkpoint from train-gcn")
+    pe2.add_argument("graphs", nargs="+", help="npz graphs, one per scene")
+    pe2.add_argument("--scenes-dir", default="scenes")
+    pe2.add_argument("--imgs-dir", default="imgs")
+    pe2.add_argument("--out-dir", default="preds")
+    _add_render_args(pe2, width=500, height=500, spp=100)
+    pe2.set_defaults(fn=cmd_evaluate)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -53,6 +53,18 @@ class RenderConfig:
     # Replicate reference quirks bit-for-bit (see render/forward.py
     # docstring); set False for the physically-corrected estimator.
     reference_quirks: bool = True
+    # Rematerialization granularity for reverse-mode AD:
+    #   "both" (default) — checkpoint render tiles AND each bounce step;
+    #             backward replays bounce internals from carries.  ~3
+    #             forward passes of compute but minimal residual traffic.
+    #             Measured on v5e at 512x512/64spp: 18.6s fwd+bwd.
+    #   "tile"  — checkpoint whole tiles only; backward stores the
+    #             un-checkpointed bounce internals for one tile (~1.5 GB
+    #             at the default tile).  Measured SLOWER (22-25s) — the
+    #             residual HBM traffic costs more than the recompute —
+    #             and far slower to compile; kept for small configs and
+    #             ablation.
+    remat: str = "both"
 
     @property
     def n_samples(self) -> int:

@@ -47,6 +47,56 @@ def make_single_chip_step(scene: SceneData, cfg: RenderConfig, optimizer):
     return step
 
 
+def recover_materials_batched(
+    scene: SceneData,
+    targets01: jnp.ndarray,  # (S, H, W, 3) per-scene target images
+    cfg: RenderConfig,
+    steps: int = 200,
+    lr: float = 5e-2,
+    key: Optional[jax.Array] = None,
+    mesh=None,
+    log_fn: Optional[Callable[[int, float], None]] = None,
+) -> Tuple[jnp.ndarray, List[float]]:
+    """Batched inverse recovery over S scenes (BASELINE.json configs
+    #4/#5).  The reference's 100 scenes share geometry and differ only in
+    the cube's Kd (SURVEY.md §1 data layer), so one SceneData serves all
+    scenes with a per-scene parameter array theta (S, nT, 3).
+
+    Scenes run through ONE compiled (optionally ray-sharded) step;
+    per-scene losses/gradients are independent, so the scene axis is a
+    host-level loop over the same executable — rays stay the sharded
+    axis within each scene.  Returns (materials (S, nT, 3), loss curve
+    of per-step mean loss)."""
+    key = jax.random.PRNGKey(0) if key is None else key
+    s = targets01.shape[0]
+    opt = optax.adam(lr)
+    if mesh is not None:
+        from inverse_path_tracer_tpu.parallel.shard import make_recover_step
+
+        step = make_recover_step(scene, cfg, mesh, opt)
+    else:
+        step = make_single_chip_step(scene, cfg, opt)
+
+    thetas = jnp.zeros((s,) + scene.diffuse.shape, dtype=jnp.float32)
+    states = [opt.init(thetas[i]) for i in range(s)]
+    losses = []
+    for i in range(steps):
+        rkey = jax.random.fold_in(key, i)
+        total = 0.0
+        new_thetas = []
+        for j in range(s):
+            th, states[j], loss = step(
+                thetas[j], states[j], jax.random.fold_in(rkey, j), targets01[j]
+            )
+            new_thetas.append(th)
+            total += float(loss)
+        thetas = jnp.stack(new_thetas)
+        losses.append(total / s)
+        if log_fn is not None:
+            log_fn(i, losses[-1])
+    return jax.nn.sigmoid(thetas), losses
+
+
 def recover_materials(
     scene: SceneData,
     target01: jnp.ndarray,

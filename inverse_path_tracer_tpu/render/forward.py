@@ -330,7 +330,8 @@ def _render_tile(
     )
 
     step = lambda s, b: _bounce_step(materials, scene, cfg, tkey, s, b)
-    step = jax.checkpoint(step)
+    if cfg.remat == "both":
+        step = jax.checkpoint(step)
     state, (segs, shadows) = jax.lax.scan(
         step, state, jnp.arange(cfg.max_bounces, dtype=jnp.int32)
     )
