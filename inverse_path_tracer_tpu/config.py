@@ -48,8 +48,11 @@ class RenderConfig:
     p_spec: float = 0.0
     camera: CameraConfig = CameraConfig()
     # Rays are streamed through the chip in tiles of this many lanes to
-    # bound live memory; the tile count is a static grid.
-    tile_size: int = 1 << 16
+    # bound live memory; the tile count is a static grid.  16384 is the
+    # measured v5e sweet spot: the (tile, 4*nT) intersect intermediates
+    # (~8 MB) stay resident in VMEM, so the bounce loop never round-trips
+    # HBM — 98M rays/s vs 49M at 131072 (512x512/64spp sweep, 2026-08).
+    tile_size: int = 1 << 14
     # Replicate reference quirks bit-for-bit (see render/forward.py
     # docstring); set False for the physically-corrected estimator.
     reference_quirks: bool = True
@@ -65,6 +68,15 @@ class RenderConfig:
     #             and far slower to compile; kept for small configs and
     #             ablation.
     remat: str = "both"
+    # Compute backend for the forward bounce loop:
+    #   "xla"    — the jitted wavefront scan (default; differentiable,
+    #              works on CPU/TPU, supports vertex-normal meshes).
+    #   "pallas" — the fused VMEM megakernel
+    #              (ops/pallas/render_kernel.py); flat-shaded scenes on
+    #              TPU only (falls back to XLA otherwise).  Gradients
+    #              route through a custom VJP whose backward replays the
+    #              XLA path.
+    backend: str = "xla"
 
     @property
     def n_samples(self) -> int:

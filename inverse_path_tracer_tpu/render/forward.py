@@ -37,6 +37,7 @@ O(tile) instead of O(tile * bounces * nT).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -338,7 +339,7 @@ def _render_tile(
     return state.radiance, jnp.sum(segs), jnp.sum(shadows)
 
 
-def render_range(
+def _render_range_xla(
     materials: jnp.ndarray,
     scene: SceneData,
     key: jax.Array,
@@ -346,11 +347,6 @@ def render_range(
     start: jnp.ndarray,
     count: int,
 ) -> Tuple[jnp.ndarray, RenderStats]:
-    """Radiance for `count` consecutive global sample indices beginning at
-    `start` (a multiple of the tile size), streamed in cfg.tile_size
-    tiles.  This is the shardable unit: per-sample RNG is keyed by the
-    *global* tile index (start//tile), so a render split across N chips
-    is bit-identical to the single-chip render."""
     tile = min(cfg.tile_size, count)
     n_tiles = -(-count // tile)
 
@@ -367,6 +363,124 @@ def render_range(
     vals, segs, shadows = jax.lax.map(tile_fn, starts)
     stats = RenderStats(segments=jnp.sum(segs), shadow_rays=jnp.sum(shadows))
     return vals.reshape(-1, 3)[: count], stats
+
+
+def _pallas_uniforms(tkey: jax.Array, cfg: RenderConfig, n: int) -> jnp.ndarray:
+    """The XLA bounce loop's per-bounce uniforms, stacked for the fused
+    kernel: 8 rows per bounce (6 used + 2 zero pad for sublane-aligned
+    dynamic slices).  Same keys => the two backends see identical
+    randomness."""
+    rows = []
+    for b in range(cfg.max_bounces):
+        u = jax.random.uniform(jax.random.fold_in(tkey, b), (6, n))
+        rows.append(jnp.concatenate([u, jnp.zeros((2, n), u.dtype)], axis=0))
+    return jnp.concatenate(rows, axis=0)
+
+
+def _render_range_pallas_impl(
+    materials: jnp.ndarray,
+    scene: SceneData,
+    key: jax.Array,
+    cfg: RenderConfig,
+    start: jnp.ndarray,
+    count: int,
+) -> Tuple[jnp.ndarray, RenderStats]:
+    from inverse_path_tracer_tpu.ops.pallas.render_kernel import render_tile_pallas
+
+    tile = min(cfg.tile_size, count)
+    n_tiles = -(-count // tile)
+    # block=4096 measured best on v5e (177M rays/s at tile 32768);
+    # 8192 exceeds VMEM.
+    block = min(4096, tile)
+    interpret = jax.default_backend() != "tpu"
+
+    def tile_fn(tile_start):
+        idx = tile_start + jnp.arange(tile, dtype=jnp.int32)
+        in_range = idx < cfg.n_samples
+        tkey = jax.random.fold_in(key, tile_start // tile)
+        p, d = camera_rays(scene, cfg, tkey, idx)
+        uniforms = _pallas_uniforms(tkey, cfg, tile)
+        rad, st = render_tile_pallas(
+            materials,
+            scene,
+            cfg,
+            p.T,
+            d.T,
+            in_range.astype(jnp.float32)[None, :],
+            uniforms,
+            block=block,
+            interpret=interpret,
+        )
+        return rad.T, jnp.sum(st[0]), jnp.sum(st[1])
+
+    starts = start + jnp.arange(n_tiles, dtype=jnp.int32) * tile
+    vals, segs, shadows = jax.lax.map(tile_fn, starts)
+    stats = RenderStats(segments=jnp.sum(segs), shadow_rays=jnp.sum(shadows))
+    return vals.reshape(-1, 3)[: count], stats
+
+
+def _ct_zero(x):
+    """A cotangent-compatible zero for any primal (float0 for ints)."""
+    import numpy as onp
+
+    if jnp.issubdtype(x.dtype, jnp.inexact):
+        return jnp.zeros_like(x)
+    return onp.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _render_range_pallas(cfg, count, materials, scene, key, start):
+    return _render_range_pallas_impl(materials, scene, key, cfg, start, count)
+
+
+def _pallas_fwd(cfg, count, materials, scene, key, start):
+    out = _render_range_pallas_impl(materials, scene, key, cfg, start, count)
+    return out, (materials, scene, key, start)
+
+
+def _pallas_bwd(cfg, count, res, g):
+    """Backward: replay through the XLA path (the kernel is forward-only;
+    the XLA estimator is mathematically identical and fully
+    differentiable)."""
+    materials, scene, key, start = res
+    _, vjp = jax.vjp(
+        lambda m: _render_range_xla(m, scene, key, cfg, start, count), materials
+    )
+    (g_mats,) = vjp(g)
+    return (
+        g_mats,
+        jax.tree.map(_ct_zero, scene),
+        _ct_zero(key),
+        _ct_zero(start),
+    )
+
+
+_render_range_pallas.defvjp(_pallas_fwd, _pallas_bwd)
+
+
+def render_range(
+    materials: jnp.ndarray,
+    scene: SceneData,
+    key: jax.Array,
+    cfg: RenderConfig,
+    start: jnp.ndarray,
+    count: int,
+) -> Tuple[jnp.ndarray, RenderStats]:
+    """Radiance for `count` consecutive global sample indices beginning at
+    `start` (a multiple of the tile size), streamed in cfg.tile_size
+    tiles.  This is the shardable unit: per-sample RNG is keyed by the
+    *global* tile index (start//tile), so a render split across N chips
+    is bit-identical to the single-chip render.
+
+    cfg.backend selects the XLA wavefront scan or the fused Pallas
+    megakernel (flat-shaded scenes; same threefry uniforms, so the two
+    agree to float tolerance)."""
+    if cfg.backend == "pallas" and scene.vertex_normals.shape[1] == 0:
+        from inverse_path_tracer_tpu.ops.pallas.render_kernel import pallas_available
+
+        if pallas_available():
+            return _render_range_pallas(cfg, count, materials, scene, key, start)
+    return _render_range_xla(materials, scene, key, cfg, start, count)
 
 
 def render_samples(
