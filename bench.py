@@ -108,12 +108,10 @@ def main():
         f"backend={backend}")
 
     fwd_rps, _ = bench_forward(scene, cfg)
-    # Gradients always route through the XLA path (the Pallas kernel's
-    # custom VJP replays it), so the fwd+bwd bench measures XLA directly.
-    # tile 16384 measured best for the grad pass (12.4M rays/s vs 10.1M
-    # at 32768).
+    # fwd+bwd: Pallas primal + analytic records-replay backward; tile
+    # 16384 measured best for the grad pass.
     fwdbwd_rps, _ = bench_forward_backward(
-        scene, cfg.with_(backend="xla", tile_size=min(tile, 16384))
+        scene, cfg.with_(tile_size=min(tile, 16384))
     )
 
     # vs_baseline: ratio to this harness's first recorded number.

@@ -77,6 +77,12 @@ class RenderConfig:
     #              route through a custom VJP whose backward replays the
     #              XLA path.
     backend: str = "xla"
+    # Material-gradient strategy for the XLA path:
+    #   "custom" — analytic per-tile VJP (render/diff.py): backward is a
+    #              single forward replay + suffix recursion; measured
+    #              ~3.5x faster than AD and exact to float tolerance.
+    #   "ad"     — plain jax.grad through the (rematerialized) scan.
+    grad_mode: str = "custom"
 
     @property
     def n_samples(self) -> int:

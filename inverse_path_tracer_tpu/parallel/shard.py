@@ -13,7 +13,11 @@ psums ride ICI within a slice / DCN across hosts.
 
 Determinism invariant: per-sample RNG is keyed by global tile index
 (render/forward.py), so the N-chip render is bit-identical to the 1-chip
-render — tested in tests/test_sharding.py.
+render — tested in tests/test_sharding.py.  Caveat: the invariant holds
+when cfg.tile_size <= the per-device sample count; a larger tile_size
+shrinks the effective tile inside each shard (tile = min(tile_size,
+count)) and the tile RNG keys no longer line up with the single-chip
+run (still a correct render, just a different random stream).
 """
 
 from __future__ import annotations
@@ -145,16 +149,20 @@ def make_recover_step(
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P()),
         out_specs=(P(), P(), P()),
+        # check_vma=False: the analytic custom VJP's scan-transposed
+        # cotangent accumulator trips the typed shard_map's varying-axis
+        # check (unvarying zero init + varying per-tile cotangent) — the
+        # error message itself recommends this workaround.  With
+        # checking off, replicated-input cotangents are NOT auto-psum'd,
+        # so the gradient all-reduce below is explicit again (verified
+        # against the single-chip gradient in tests).
+        check_vma=False,
     )
     def sharded_step(theta, opt_state, sc, k, target_flat):
         i = jax.lax.axis_index(AXIS)
         loss, grad = jax.value_and_grad(local_loss)(theta, sc, k, target_flat, i)
         loss = jax.lax.psum(loss, AXIS)
-        # No explicit psum on grad: theta is an *unvarying* (replicated)
-        # shard_map input, so the typed shard_map AD already all-reduces
-        # its cotangent when converting the varying backward stream to
-        # theta's replicated type — an explicit psum would double-count
-        # by a factor of n_devices.
+        grad = jax.lax.psum(grad, AXIS)
         updates, opt_state = optimizer.update(grad, opt_state, theta)
         theta = jax.tree.map(lambda p, u: p + u, theta, updates)
         return theta, opt_state, loss

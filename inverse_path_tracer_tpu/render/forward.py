@@ -126,7 +126,8 @@ def direct_lighting(
     return zero (static shape check, path_trace.cu:34)."""
     n = ray_d.shape[0]
     if scene.n_emissive == 0:
-        return jnp.zeros((n, 3), dtype=ray_d.dtype)
+        z = jnp.zeros((n, 3), dtype=ray_d.dtype)
+        return z, z
 
     u_pick, r1, r2 = u_nee[0], u_nee[1], u_nee[2]
     n_e = scene.n_emissive
@@ -177,8 +178,25 @@ def direct_lighting(
     l_o = row[:, 9:12]
     geom = cos_theta * cos_theta_p / jnp.where(ok, shadow.t, 1.0) ** 2 / row[:, 16]
     bsdf = bsdf_from_values(kd, spec, shin, shade_n, ray_d, to_light, True)
-    out = bsdf * (l_o * geom[:, None])
-    return jnp.where(ok[:, None], out, 0.0)
+    # nee_term is the material-independent factor: l_d = bsdf_direct *
+    # nee_term.  Exposed for the analytic VJP (render/diff.py).
+    nee_term = jnp.where(ok[:, None], l_o * geom[:, None], 0.0)
+    return jnp.where(ok[:, None], bsdf * (l_o * geom[:, None]), 0.0), nee_term
+
+
+class BounceRecords(NamedTuple):
+    """Per-bounce residuals for the analytic material VJP
+    (render/diff.py).  The estimator is multilinear in per-bounce Kd, so
+    these are everything the backward sweep needs — no AD through the
+    scan, no gathers."""
+
+    f: jnp.ndarray  # (R, 3) throughput factor bsdf*coeff (0 when dead)
+    c: jnp.ndarray  # (R, 3) masked per-bounce contribution l_e + l_d
+    nee: jnp.ndarray  # (R, 3) material-independent NEE factor l_o*geom*ok
+    coeff: jnp.ndarray  # (R,) cosine/pdf/p_RR (0 when dead)
+    tri: jnp.ndarray  # (R,) int32 hit triangle (0 on miss)
+    hit_act: jnp.ndarray  # (R,) bool
+    escape: jnp.ndarray  # (R,) bool: alive-in but missed (quirk Q2 lanes)
 
 
 class _BounceState(NamedTuple):
@@ -198,7 +216,8 @@ def _bounce_step(
     key: jax.Array,
     state: _BounceState,
     bounce,
-) -> Tuple[_BounceState, Tuple[jnp.ndarray, jnp.ndarray]]:
+    with_records: bool = False,
+):
     """One wavefront bounce over all lanes (reference radiance
     path_trace.cu:111-144 + the loop body :175-181)."""
     n = state.ray_p.shape[0]
@@ -243,7 +262,7 @@ def _bounce_step(
 
     # Direct lighting at the current hit (fresh for hits; stale kept for
     # escaping lanes — Q2).
-    l_d_fresh = direct_lighting(
+    l_d_fresh, nee_term = direct_lighting(
         scene,
         cfg,
         u[_SLOT_NEE_PICK : _SLOT_NEE_R2 + 1],
@@ -299,6 +318,17 @@ def _bounce_step(
     )
     seg = jnp.sum(act.astype(jnp.float32))
     shadow = jnp.sum(hit_act.astype(jnp.float32))
+    if with_records:
+        records = BounceRecords(
+            f=bsdf * coeff[:, None],
+            c=jnp.where(contrib_mask[:, None], l_e_contrib + l_d_contrib, 0.0),
+            nee=nee_term,
+            coeff=coeff,
+            tri=isect.tri,
+            hit_act=hit_act,
+            escape=act & ~isect.hit,
+        )
+        return new_state, (seg, shadow, records)
     return new_state, (seg, shadow)
 
 
@@ -350,14 +380,26 @@ def _render_range_xla(
     tile = min(cfg.tile_size, count)
     n_tiles = -(-count // tile)
 
-    # Rematerialize whole tiles: without this, AD through the tile map
-    # stores every bounce carry for every tile at once
-    # (n_tiles x bounces x tile x 3 floats x ~6 arrays — tens of GB at
-    # 512x512x64spp).  With it, the backward pass replays one tile's
-    # bounce scan at a time, bounding residuals to O(tile x bounces).
-    @jax.checkpoint
-    def tile_fn(tile_start):
-        return _render_tile(materials, scene, cfg, key, tile_start, tile)
+    if cfg.grad_mode == "custom":
+        # Analytic per-tile VJP (render/diff.py): backward replays the
+        # tile once and runs the multilinear suffix recursion.
+        from inverse_path_tracer_tpu.render.diff import render_tile_custom_vjp
+
+        def tile_fn(tile_start):
+            return render_tile_custom_vjp(
+                materials, scene, cfg, key, tile_start, tile
+            )
+
+    else:
+        # Rematerialize whole tiles: without this, AD through the tile
+        # map stores every bounce carry for every tile at once
+        # (n_tiles x bounces x tile x 3 floats x ~6 arrays — tens of GB
+        # at 512x512x64spp).  With it, the backward pass replays one
+        # tile's bounce scan at a time, bounding residuals to
+        # O(tile x bounces).
+        @jax.checkpoint
+        def tile_fn(tile_start):
+            return _render_tile(materials, scene, cfg, key, tile_start, tile)
 
     starts = start + jnp.arange(n_tiles, dtype=jnp.int32) * tile
     vals, segs, shadows = jax.lax.map(tile_fn, starts)
@@ -439,14 +481,17 @@ def _pallas_fwd(cfg, count, materials, scene, key, start):
 
 
 def _pallas_bwd(cfg, count, res, g):
-    """Backward: replay through the XLA path (the kernel is forward-only;
-    the XLA estimator is mathematically identical and fully
-    differentiable)."""
+    """Backward: the kernel is forward-only; the gradient comes straight
+    from the analytic records replay (render/diff.py) — the XLA and
+    Pallas forward passes are bit-identical, so the records are valid
+    residuals for the Pallas primal too."""
+    from inverse_path_tracer_tpu.render.diff import grad_from_records_range
+
     materials, scene, key, start = res
-    _, vjp = jax.vjp(
-        lambda m: _render_range_xla(m, scene, key, cfg, start, count), materials
+    g_vals, _g_stats = g
+    g_mats = grad_from_records_range(
+        materials, scene, key, cfg, start, count, g_vals
     )
-    (g_mats,) = vjp(g)
     return (
         g_mats,
         jax.tree.map(_ct_zero, scene),
