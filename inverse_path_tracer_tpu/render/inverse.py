@@ -86,20 +86,45 @@ def _edge_update(
     factors: jnp.ndarray,  # (N, 2)
     mask: jnp.ndarray,  # (N,) bool
 ) -> TransportGrids:
-    """Edge::update (inv_scene.h:26-36) for a batch of lanes: masked
-    segment-sum into the dense grid (atomics -> reduction)."""
-    b = (n_tri + 1) * n_tri
-    flat = dst * n_tri + src
-    flat = jnp.where(mask, flat, b)  # out-of-range bin is dropped
-    w_m = jnp.where(mask, w, 0.0)
+    """Edge::update (inv_scene.h:26-36) for a batch of lanes.
+
+    CUDA atomics become a bilinear reduction: the (dst, src) grid of
+    every accumulated quantity v is  G_v = dst_onehot^T @ (src_onehot *
+    v) — one thin (nT+1, N) x (N, nT) MXU matmul per quantity, no
+    scatters anywhere (TPU scatters serialize; these matmuls don't)."""
+    mf = mask.astype(w.dtype)
+    dst_oh = (dst[:, None] == jnp.arange(n_tri + 1)[None, :]).astype(w.dtype)
+    dst_oh = dst_oh * mf[:, None]  # (N, nT+1); masked lanes vanish
+    src_oh = (src[:, None] == jnp.arange(n_tri)[None, :]).astype(w.dtype)
+
+    w_m = w * mf
     wf = w_m[:, None] * factors  # (N, 2)
-    seg = lambda vals: jax.ops.segment_sum(vals, flat, num_segments=b + 1)[:b]
+    # Accumulated quantity columns, in grid layout order:
+    # [w, wf0, wf1, wf0*pix(3), wf1*pix(3), wf0*light(3), wf1*light(3), n]
+    vals = jnp.concatenate(
+        [
+            w_m[:, None],
+            wf,
+            wf[:, 0:1] * pixel,
+            wf[:, 1:2] * pixel,
+            wf[:, 0:1] * light,
+            wf[:, 1:2] * light,
+            mf[:, None],
+        ],
+        axis=1,
+    )  # (N, 16)
+    # G[d, s, k] = sum_r dst_oh[r,d] src_oh[r,s] vals[r,k]; contract the
+    # lane axis with one matmul per k (k is tiny, N is the MXU K-dim).
+    g = jnp.stack(
+        [dst_oh.T @ (src_oh * vals[:, k : k + 1]) for k in range(16)], axis=-1
+    )  # (nT+1, nT, 16)
+    g = g.reshape((n_tri + 1) * n_tri, 16)
     return TransportGrids(
-        w_sum=grids.w_sum + seg(w_m),
-        pixel_sum=grids.pixel_sum + seg(wf[:, :, None] * pixel[:, None, :]),
-        light_sum=grids.light_sum + seg(wf[:, :, None] * light[:, None, :]),
-        factors_sum=grids.factors_sum + seg(wf),
-        count=grids.count + seg(mask.astype(jnp.float32)),
+        w_sum=grids.w_sum + g[:, 0],
+        factors_sum=grids.factors_sum + g[:, 1:3],
+        pixel_sum=grids.pixel_sum + g[:, 3:9].reshape(-1, 2, 3),
+        light_sum=grids.light_sum + g[:, 9:15].reshape(-1, 2, 3),
+        count=grids.count + g[:, 15],
     )
 
 
