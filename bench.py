@@ -94,7 +94,7 @@ def main():
     height = int(os.environ.get("BENCH_HEIGHT", 512))
     spp = int(os.environ.get("BENCH_SPP", 64))
     bounces = int(os.environ.get("BENCH_BOUNCES", 16))
-    tile = int(os.environ.get("BENCH_TILE", 1 << 14))
+    tile = int(os.environ.get("BENCH_TILE", 1 << 16))
 
     backend = os.environ.get("BENCH_BACKEND", "pallas")
 
@@ -108,11 +108,9 @@ def main():
         f"backend={backend}")
 
     fwd_rps, _ = bench_forward(scene, cfg)
-    # fwd+bwd: Pallas primal + analytic records-replay backward; tile
-    # 16384 measured best for the grad pass.
-    fwdbwd_rps, _ = bench_forward_backward(
-        scene, cfg.with_(tile_size=min(tile, 16384))
-    )
+    # fwd+bwd: Pallas primal + fused Pallas backward megakernel (records
+    # replay + suffix recursion in VMEM); same tile as the forward.
+    fwdbwd_rps, _ = bench_forward_backward(scene, cfg)
 
     # vs_baseline: ratio to this harness's first recorded number.
     if os.path.exists(BASE_FILE):

@@ -77,11 +77,16 @@ class RenderConfig:
     #              route through a custom VJP whose backward replays the
     #              XLA path.
     backend: str = "xla"
-    # Material-gradient strategy for the XLA path:
-    #   "custom" — analytic per-tile VJP (render/diff.py): backward is a
-    #              single forward replay + suffix recursion; measured
-    #              ~3.5x faster than AD and exact to float tolerance.
-    #   "ad"     — plain jax.grad through the (rematerialized) scan.
+    # Material-gradient strategy:
+    #   "custom"  — analytic multilinear VJP.  XLA backend: per-tile
+    #               records replay + suffix recursion (render/diff.py).
+    #               Pallas backend: the fused backward megakernel
+    #               (ops/pallas/render_kernel.py grad_tile_pallas) —
+    #               records live in VMEM scratch, never HBM.
+    #   "records" — (pallas backend) force the XLA records replay as the
+    #               backward; oracle/ablation path.
+    #   "ad"      — (xla backend) plain jax.grad through the
+    #               (rematerialized) scan.
     grad_mode: str = "custom"
 
     @property

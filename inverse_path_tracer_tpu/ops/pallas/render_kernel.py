@@ -1,4 +1,4 @@
-"""Fused forward-render megakernel (Pallas/Mosaic).
+"""Fused forward-render and backward-gradient megakernels (Pallas/Mosaic).
 
 The whole bounce loop — intersect, NEE (with its second intersect),
 BSDF, RR, direction sampling, radiance accumulation — runs inside ONE
@@ -9,96 +9,121 @@ are fixed.
 
 Layout: rays live on the LANE axis.  Every per-ray quantity is
 (k, BLOCK) with k on sublanes (vec3 -> 3 rows, per-triangle sweeps ->
-(nT, BLOCK)), so nT=30 pads to 32 sublanes instead of the 30->128 lane
-padding a (R, T) layout would pay.  Per-triangle plane tests are
-(nT,4)x(4,BLOCK) MXU matmuls; hit-value lookup is one (13,nT)x(nT,BLOCK)
-matmul against a one-hot selection built from argmin (ties resolve to
-the lowest triangle index — the reference's scan order).
+(Tp, BLOCK) where Tp = nT rounded up to 8), so nT=30 pads to 32 sublanes
+instead of the 30->128 lane padding a (R, T) layout would pay.  The four
+per-triangle plane tests (hit plane + 3 edge planes) are packed into a
+single (4*Tp, 4) x (4, 2*BLOCK) MXU matmul per intersect — origins and
+directions share the rhs — instead of eight K=4 dispatches.  Hit-value
+lookup is one (13,Tp)x(Tp,BLOCK) matmul against a one-hot selection
+built from argmin (ties resolve to the lowest triangle index — the
+reference's scan order).
 
-RNG: the kernel consumes the SAME threefry uniforms as the XLA path
-(generated outside, passed in as a (bounces*6, tile) input), so the two
+RNG: the kernels consume the SAME threefry uniforms as the XLA path
+(generated outside, passed in as a (bounces*8, tile) input), so the
 backends produce bit-comparable radiance — the XLA renderer is the
 oracle in tests/test_pallas.py.
 
-Gradients: the kernel is forward-only; render_samples wires it through
-jax.custom_vjp with the XLA path as the backward (see render/forward.py)
-so jax.grad keeps working when cfg.backend="pallas".
+Gradients (grad_tile_pallas): the radiance estimator is multilinear in
+the per-bounce diffuse albedos (see render/diff.py for the derivation),
+so the backward pass is a second fused kernel that
+  1. replays the forward bounce loop, writing the 16 rows/bounce of
+     records (f, c, nee, pm, coeff, tri, hit, escape) into a VMEM
+     scratch — they never touch HBM;
+  2. runs the suffix recursion in reverse bounce order, carrying
+     suffix/escape lanes and accumulating the material cotangent with
+     one (3,B)x(Tp,B)^T lane-contraction matmul per bounce;
+  3. accumulates the per-block (3, Tp) gradient into the output across
+     the (sequential) grid.
+Equality with jax.grad of the XLA path is asserted in
+tests/test_pallas.py for both quirk modes.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 
 PI = 3.141592653589793
 
+# Rows per bounce in the backward records scratch (8-aligned so the
+# dynamic sublane slices are legal for Mosaic): f(3) c(3) nee(3) pm(3)
+# coeff(1) tri(1) hit(1) escape(1).
+REC_ROWS = 16
+
+# pl is imported lazily so CPU-only environments without pallas work.
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+except Exception:  # pragma: no cover
+    pl = None
+    pltpu = None
+
 
 def pallas_available() -> bool:
-    try:
-        from jax.experimental import pallas as pl  # noqa: F401
-        from jax.experimental.pallas import tpu as pltpu  # noqa: F401
-
-        return True
-    except Exception:
-        return False
+    return pl is not None
 
 
-def _kernel(
-    cfg_static,
-    n_tri,
-    n_emissive,
-    # refs:
-    p_ref,  # (3, BLOCK) ray origins
-    d_ref,  # (3, BLOCK) ray dirs
-    alive_ref,  # (1, BLOCK) f32 initial alive mask
-    u_ref,  # (bounces*6, BLOCK) uniforms
-    p0_ref,  # (nT, 4) plane eq (n, -c.n)
-    e0_ref,  # (nT, 4) edge plane 0 (out, d)
-    e1_ref,
-    e2_ref,
-    table_ref,  # (13, nT): emission/spec/shin/face_n/kd rows
-    etab_ref,  # (17, nE): verts(9) emission(3) face_n(3) idx(1) p(1)
-    cdf_ref,  # (nE, 1)
-    rad_ref,  # out (3, BLOCK)
-    stats_ref,  # out (2, BLOCK): per-lane segment/shadow counts
-):
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class _BounceOut(NamedTuple):
+    """Per-bounce outputs shared by the fwd/bwd kernels (all (k, B))."""
+
+    contrib: jnp.ndarray  # (3,B) masked radiance increment pm * c
+    f: jnp.ndarray  # (3,B) throughput factor bsdf*coeff (0 when dead)
+    c: jnp.ndarray  # (3,B) masked contribution l_e + l_d
+    nee: jnp.ndarray  # (3,B) material-independent NEE factor l_o*geom*ok
+    pm_in: jnp.ndarray  # (3,B) throughput entering this bounce
+    coeff: jnp.ndarray  # (1,B) cosine/pdf/p_RR (0 when dead)
+    tri_f: jnp.ndarray  # (1,B) hit triangle index as f32 (0 on miss)
+    hit: jnp.ndarray  # (1,B) 0/1 alive-and-hit
+    esc: jnp.ndarray  # (1,B) 0/1 alive-in but missed (quirk Q2 lanes)
+    seg: jnp.ndarray  # (1,B) segment count increment
+    shadow: jnp.ndarray  # (1,B) shadow-ray count increment
+
+
+def _make_bounce(cfg_static, tp, n_emissive, pmat, table, etab, cdf, block):
+    """Build the shared per-bounce forward step.
+
+    Returns bounce(b, u, carry) -> (new_carry, _BounceOut) with
+    carry = (p, d, l_e, l_d, prev_mult, alive), every entry (k, B).
+    Replicates the reference radiance step path_trace.cu:111-144 plus
+    the loop body :175-181 (quirks documented in render/forward.py).
+    """
     (max_bounces, p_rr, min_dot, epsilon, quirks) = cfg_static
-    block = p_ref.shape[1]
-
     ones_row = jnp.ones((1, block), dtype=jnp.float32)
     zeros_row = jnp.zeros((1, block), dtype=jnp.float32)
-    iota_t = jax.lax.broadcasted_iota(jnp.int32, (n_tri, block), 0)
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (tp, block), 0)
     iota_tf = iota_t.astype(jnp.float32)
 
-    p0m = p0_ref[:]
-    e0m = e0_ref[:]
-    e1m = e1_ref[:]
-    e2m = e2_ref[:]
-    table = table_ref[:]
-    etab = etab_ref[:]
-    cdf = cdf_ref[:]  # (nE, 1)
-
     def intersect(p, d):
-        """-> (t_best (1,B), hit (1,B) bool, sel (nT,B) f32, point (3,B))."""
+        """-> (t_best (1,B), hit (1,B) bool, sel (Tp,B) f32, point (3,B)).
+
+        One packed matmul: rows [j*Tp:(j+1)*Tp] of pmat are plane j
+        (j=0 the face plane, j=1..3 the edge planes), rhs columns
+        [:B] homogeneous origins, [B:] homogeneous directions."""
         p4 = jnp.concatenate([p, ones_row], axis=0)  # (4, B)
         d4 = jnp.concatenate([d, zeros_row], axis=0)
-        a0 = jnp.dot(p0m, p4, preferred_element_type=jnp.float32)  # (nT, B)
-        b0 = jnp.dot(p0m, d4, preferred_element_type=jnp.float32)
+        pd4 = jnp.concatenate([p4, d4], axis=1)  # (4, 2B)
+        ab = jnp.dot(pmat, pd4, preferred_element_type=jnp.float32)  # (4Tp, 2B)
+        a = ab[:, :block]
+        bb = ab[:, block:]
+        a0 = a[0:tp]
+        b0 = bb[0:tp]
         t = a0 / (-b0)
         inside = (jnp.abs(b0) >= min_dot) & (t >= epsilon)
-        for em in (e0m, e1m, e2m):
-            sd = jnp.dot(em, p4, preferred_element_type=jnp.float32) + t * jnp.dot(
-                em, d4, preferred_element_type=jnp.float32
-            )
+        for j in (1, 2, 3):
+            sd = a[j * tp : (j + 1) * tp] + t * bb[j * tp : (j + 1) * tp]
             inside = inside & (sd <= 0.0)
         t_masked = jnp.where(inside, t, jnp.inf)
         t_best = jnp.min(t_masked, axis=0, keepdims=True)  # (1, B)
         hit = jnp.isfinite(t_best)
         idx = jnp.argmin(t_masked, axis=0).astype(jnp.int32)[None, :]  # (1, B)
-        sel = ((iota_t == idx) & hit).astype(jnp.float32)  # (nT, B)
+        sel = ((iota_t == idx) & hit).astype(jnp.float32)  # (Tp, B)
         t_safe = jnp.where(hit, t_best, 0.0)
         point = p + d * t_safe
         return t_best, hit, sel, point
@@ -136,11 +161,8 @@ def _kernel(
         rotated = jnp.concatenate([rx, ry, rz], axis=0)
         return jnp.where(degenerate, -vec, rotated)
 
-    def body(b, carry):
-        (p, d, radiance, l_e, l_d, prev_mult, alive, segs, shadows) = carry
-        # 8 rows per bounce (6 used + 2 pad) keeps the dynamic
-        # sublane slice 8-aligned for Mosaic.
-        u = u_ref[pl.ds(b * 8, 8), :]  # (8, B)
+    def bounce(b, u, carry):
+        (p, d, l_e, l_d, prev_mult, alive) = carry
         t_best, hit, sel, point = intersect(p, d)
         act = alive  # (1, B) f32 0/1
         hit_act = act * hit.astype(jnp.float32)
@@ -171,7 +193,7 @@ def _kernel(
             any_m = jnp.max(m, axis=0, keepdims=True) > 0
             eidx = jnp.where(any_m, eidx, n_emissive - 1)
             e_onehot = (iota_e == eidx).astype(jnp.float32)
-            row = jnp.dot(etab, e_onehot, preferred_element_type=jnp.float32)  # (17,B)
+            row = jnp.dot(etab, e_onehot, preferred_element_type=jnp.float32)
             sq = jnp.sqrt(u[1:2])
             r2c = u[2:3]
             emm_point = (
@@ -197,10 +219,13 @@ def _kernel(
             )
             sc = spec_coeff(mat_shin, shade_n, d, to_light)
             bsdf_direct = kd + mat_spec * sc
+            nee_term = jnp.where(ok > 0, row[9:12] * geom, 0.0)
             l_d_fresh = jnp.where(ok > 0, bsdf_direct * (row[9:12] * geom), 0.0)
-            shadows = shadows + hit_act
+            shadow_inc = hit_act
         else:
+            nee_term = jnp.zeros_like(l_d)
             l_d_fresh = jnp.zeros_like(l_d)
+            shadow_inc = jnp.zeros_like(act)
 
         l_d = jnp.where(hit_act > 0, l_d_fresh, l_d)
         if quirks:
@@ -209,9 +234,7 @@ def _kernel(
         else:
             contrib_mask = hit_act
             l_d_contrib = jnp.where(hit_act > 0, l_d_fresh, 0.0)
-        radiance = radiance + jnp.where(
-            contrib_mask > 0, prev_mult * (l_e_contrib + l_d_contrib), 0.0
-        )
+        c = jnp.where(contrib_mask > 0, l_e_contrib + l_d_contrib, 0.0)
 
         # --- RR + next direction (path_trace.cu:130-140) ---
         cont = hit_act * (u[3:4] < p_rr).astype(jnp.float32)
@@ -235,42 +258,213 @@ def _kernel(
         cosine = dot3(next_dir, shade_n)
         coeff = jnp.where(pdf > 0, cosine / jnp.where(pdf > 0, pdf, 1.0) / p_rr, 0.0)
         coeff = jnp.where(cont > 0, coeff, 0.0)
-        mult = prev_mult * bsdf * coeff
+        f = bsdf * coeff
 
-        p = jnp.where(cont > 0, point, p)
-        d = jnp.where(cont > 0, next_dir, d)
-        prev_mult = jnp.where(cont > 0, mult, prev_mult)
-        segs = segs + act
-        return (p, d, radiance, l_e, l_d, prev_mult, cont, segs, shadows)
+        tri_f = jnp.sum(sel * iota_tf, axis=0, keepdims=True)
+        out = _BounceOut(
+            contrib=jnp.where(contrib_mask > 0, prev_mult * c, 0.0),
+            f=f,
+            c=c,
+            nee=nee_term,
+            pm_in=prev_mult,
+            coeff=coeff,
+            tri_f=tri_f,
+            hit=hit_act,
+            esc=act * (1.0 - hit.astype(jnp.float32)),
+            seg=act,
+            shadow=shadow_inc,
+        )
+        new_carry = (
+            jnp.where(cont > 0, point, p),
+            jnp.where(cont > 0, next_dir, d),
+            l_e,
+            l_d,
+            jnp.where(cont > 0, prev_mult * f, prev_mult),
+            cont,
+        )
+        return new_carry, out
 
-    p = p_ref[:]
-    d = d_ref[:]
-    alive = alive_ref[:]
-    zero3 = jnp.zeros((3, block), dtype=jnp.float32)
-    carry = (
-        p,
-        d,
-        zero3,
-        zero3,
-        zero3,
-        zero3 + 1.0,
-        alive,
-        jnp.zeros((1, block), jnp.float32),
-        jnp.zeros((1, block), jnp.float32),
+    return bounce
+
+
+def _kernel_fwd(
+    cfg_static,
+    tp,
+    n_emissive,
+    # refs:
+    p_ref,  # (3, BLOCK) ray origins
+    d_ref,  # (3, BLOCK) ray dirs
+    alive_ref,  # (1, BLOCK) f32 initial alive mask
+    u_ref,  # (bounces*8, BLOCK) uniforms (6 used + 2 pad rows per bounce)
+    pmat_ref,  # (4*Tp, 4) packed plane rows
+    table_ref,  # (13, Tp): emission/spec/shin/face_n/kd rows
+    etab_ref,  # (17, nE): verts(9) emission(3) face_n(3) idx(1) p(1)
+    cdf_ref,  # (nE, 1)
+    rad_ref,  # out (3, BLOCK)
+    stats_ref,  # out (2, BLOCK): per-lane segment/shadow counts
+):
+    block = p_ref.shape[1]
+    bounce = _make_bounce(
+        cfg_static, tp, n_emissive,
+        pmat_ref[:], table_ref[:], etab_ref[:], cdf_ref[:], block,
     )
-    carry = jax.lax.fori_loop(0, max_bounces, body, carry)
-    (_, _, radiance, _, _, _, _, segs, shadows) = carry
+    max_bounces = cfg_static[0]
+
+    def body(b, state):
+        carry, radiance, segs, shadows = state
+        u = u_ref[pl.ds(b * 8, 8), :]  # (8, B)
+        carry, out = bounce(b, u, carry)
+        return (
+            carry,
+            radiance + out.contrib,
+            segs + out.seg,
+            shadows + out.shadow,
+        )
+
+    zero3 = jnp.zeros((3, block), dtype=jnp.float32)
+    zero1 = jnp.zeros((1, block), dtype=jnp.float32)
+    carry0 = (p_ref[:], d_ref[:], zero3, zero3, zero3 + 1.0, alive_ref[:])
+    state = jax.lax.fori_loop(
+        0, max_bounces, body, (carry0, zero3, zero1, zero1)
+    )
+    (_, radiance, segs, shadows) = state
     rad_ref[:] = radiance
     stats_ref[:] = jnp.concatenate([segs, shadows], axis=0)
 
 
-# pl is imported lazily so CPU-only environments without pallas work.
-try:
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-except Exception:  # pragma: no cover
-    pl = None
-    pltpu = None
+def _kernel_bwd(
+    cfg_static,
+    tp,
+    n_emissive,
+    # refs:
+    p_ref,
+    d_ref,
+    alive_ref,
+    g_ref,  # (3, BLOCK) per-lane radiance cotangent
+    u_ref,
+    pmat_ref,
+    table_ref,
+    etab_ref,
+    cdf_ref,
+    dmats_ref,  # out (3, Tp) material cotangent, accumulated across grid
+    rec_ref,  # scratch (bounces*REC_ROWS, BLOCK)
+):
+    block = p_ref.shape[1]
+    bounce = _make_bounce(
+        cfg_static, tp, n_emissive,
+        pmat_ref[:], table_ref[:], etab_ref[:], cdf_ref[:], block,
+    )
+    (max_bounces, _p_rr, _min_dot, _eps, quirks) = cfg_static
+    iota_tf = jax.lax.broadcasted_iota(jnp.int32, (tp, block), 0).astype(
+        jnp.float32
+    )
+
+    # Pass 1: forward replay, records to VMEM scratch (never HBM).
+    def fwd_body(b, carry):
+        u = u_ref[pl.ds(b * 8, 8), :]
+        carry, out = bounce(b, u, carry)
+        rec = jnp.concatenate(
+            [out.f, out.c, out.nee, out.pm_in, out.coeff, out.tri_f,
+             out.hit, out.esc],
+            axis=0,
+        )  # (REC_ROWS, B)
+        rec_ref[pl.ds(b * REC_ROWS, REC_ROWS), :] = rec
+        return carry
+
+    zero3 = jnp.zeros((3, block), dtype=jnp.float32)
+    carry0 = (p_ref[:], d_ref[:], zero3, zero3, zero3 + 1.0, alive_ref[:])
+    jax.lax.fori_loop(0, max_bounces, fwd_body, carry0)
+
+    # Pass 2: reverse suffix recursion (render/diff.py steps 2-4), all in
+    # VMEM.  suffix_k is the value BEFORE incorporating bounce k; the
+    # escape flag of bounce k+1 arrives via the esc_next carry.
+    g = g_ref[:]
+
+    def rev_body(j, st):
+        suf, esc_next, dmats = st
+        k = max_bounces - 1 - j
+        rec = rec_ref[pl.ds(k * REC_ROWS, REC_ROWS), :]
+        f = rec[0:3]
+        c = rec[3:6]
+        nee = rec[6:9]
+        pm = rec[9:12]
+        coeff = rec[12:13]
+        tri_f = rec[13:14]
+        hit = rec[14:15]
+        esc = rec[15:16]
+        # Throughput cotangent -> diffuse via d f/d kd = coeff/pi.
+        ct = pm * suf * (coeff / PI)
+        # NEE: fresh l_d at hit lanes (d l_d/d kd = nee).
+        ct = ct + jnp.where(hit > 0, g * pm * nee, 0.0)
+        if quirks:
+            # Stale l_d re-added on escape at k+1 uses bounce k's kd.
+            ct = ct + jnp.where(esc_next > 0, g * (pm * f) * nee, 0.0)
+        onehot = ((iota_tf == tri_f) & (hit > 0)).astype(jnp.float32)  # (Tp,B)
+        dmats = dmats + jax.lax.dot_general(
+            ct, onehot, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (3, Tp)
+        suf = g * c + f * suf
+        return (suf, esc, dmats)
+
+    init = (
+        jnp.zeros((3, block), jnp.float32),
+        jnp.zeros((1, block), jnp.float32),
+        jnp.zeros((3, tp), jnp.float32),
+    )
+    (_suf, _esc, dmats) = jax.lax.fori_loop(0, max_bounces, rev_body, init)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dmats_ref[:] = jnp.zeros_like(dmats_ref)
+
+    dmats_ref[:] += dmats
+
+
+def _pack_tables(scene, materials):
+    """Padded device tables shared by both kernels.
+
+    Returns (tp, pmat (4*Tp,4), table (13,Tp), etab (17,nE), cdf (nE,1)).
+    Padded triangles have an all-zero plane row, so |b0| < min_dot
+    rejects them in every intersect; padded table columns are zero."""
+    n_tri = scene.vertices.shape[0]
+    tp = _round_up(max(n_tri, 8), 8)
+    planes = scene.plane_mat.reshape(4, n_tri, 4).transpose(2, 1, 0)  # (pl,tri,co)
+    pad = jnp.zeros((tp - n_tri, 4), jnp.float32)
+    pmat = jnp.concatenate(
+        [jnp.concatenate([planes[j], pad], axis=0) for j in range(4)], axis=0
+    )  # (4*Tp, 4)
+    table = jnp.concatenate(
+        [
+            scene.emission,
+            scene.specular,
+            scene.shininess[:, None],
+            scene.face_normal,
+            materials,
+        ],
+        axis=1,
+    ).T  # (13, nT)
+    table = jnp.concatenate(
+        [table, jnp.zeros((13, tp - n_tri), jnp.float32)], axis=1
+    )
+    ev = scene.vertices[scene.emissive_idx].reshape(-1, 9)
+    etab = jnp.concatenate(
+        [
+            ev,
+            scene.emission[scene.emissive_idx],
+            scene.face_normal[scene.emissive_idx],
+            scene.emissive_idx.astype(jnp.float32)[:, None],
+            scene.emissive_p[:, None],
+        ],
+        axis=1,
+    ).T  # (17, nE)
+    cdf = scene.emissive_cdf[:, None]  # (nE, 1)
+    return tp, pmat, table, etab, cdf
+
+
+def _cfg_static(cfg):
+    return (cfg.max_bounces, cfg.p_rr, cfg.min_dot, cfg.epsilon,
+            cfg.reference_quirks)
 
 
 def render_tile_pallas(
@@ -290,43 +484,12 @@ def render_tile_pallas(
     counts).  Flat-shaded scenes only (scene.vertex_normals must be the
     empty static marker); the caller falls back to the XLA path
     otherwise."""
-    n_tri = scene.vertices.shape[0]
     n_e = scene.emissive_idx.shape[0]
     tile = p.shape[1]
     assert tile % block == 0, (tile, block)
+    tp, pmat, table, etab, cdf = _pack_tables(scene, materials)
 
-    # Packed tables (transposed layouts; see module docstring).
-    pm = scene.plane_mat.reshape(4, n_tri, 4)  # (4, nT, 4)
-    p0m = pm[:, :, 0].T  # (nT, 4)
-    e0m = pm[:, :, 1].T
-    e1m = pm[:, :, 2].T
-    e2m = pm[:, :, 3].T
-    table = jnp.concatenate(
-        [
-            scene.emission,
-            scene.specular,
-            scene.shininess[:, None],
-            scene.face_normal,
-            materials,
-        ],
-        axis=1,
-    ).T  # (13, nT)
-    ev = scene.vertices[scene.emissive_idx].reshape(-1, 9)
-    etab = jnp.concatenate(
-        [
-            ev,
-            scene.emission[scene.emissive_idx],
-            scene.face_normal[scene.emissive_idx],
-            scene.emissive_idx.astype(jnp.float32)[:, None],
-            scene.emissive_p[:, None],
-        ],
-        axis=1,
-    ).T  # (17, nE)
-    cdf = scene.emissive_cdf[:, None]  # (nE, 1)
-
-    cfg_static = (cfg.max_bounces, cfg.p_rr, cfg.min_dot, cfg.epsilon,
-                  cfg.reference_quirks)
-    kernel = functools.partial(_kernel, cfg_static, n_tri, n_e)
+    kernel = functools.partial(_kernel_fwd, _cfg_static(cfg), tp, n_e)
 
     grid = (tile // block,)
     ray_spec = lambda rows: pl.BlockSpec(
@@ -342,10 +505,7 @@ def render_tile_pallas(
             ray_spec(3),
             ray_spec(1),
             ray_spec(cfg.max_bounces * 8),
-            full(p0m),
-            full(e0m),
-            full(e1m),
-            full(e2m),
+            full(pmat),
             full(table),
             full(etab),
             full(cdf),
@@ -356,5 +516,59 @@ def render_tile_pallas(
             jax.ShapeDtypeStruct((2, tile), jnp.float32),
         ],
         interpret=interpret,
-    )(p, d, alive, uniforms, p0m, e0m, e1m, e2m, table, etab, cdf)
+    )(p, d, alive, uniforms, pmat, table, etab, cdf)
     return rad, stats
+
+
+def grad_tile_pallas(
+    materials: jnp.ndarray,
+    scene,
+    cfg,
+    p: jnp.ndarray,  # (3, tile)
+    d: jnp.ndarray,  # (3, tile)
+    alive: jnp.ndarray,  # (1, tile) f32
+    g: jnp.ndarray,  # (3, tile) radiance cotangent
+    uniforms: jnp.ndarray,  # (bounces*8, tile)
+    block: int = 2048,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Material gradient (nT, 3) for one ray tile, fully fused: forward
+    replay + records + suffix recursion all inside the kernel."""
+    n_tri = scene.vertices.shape[0]
+    n_e = scene.emissive_idx.shape[0]
+    tile = p.shape[1]
+    assert tile % block == 0, (tile, block)
+    tp, pmat, table, etab, cdf = _pack_tables(scene, materials)
+
+    kernel = functools.partial(_kernel_bwd, _cfg_static(cfg), tp, n_e)
+
+    grid = (tile // block,)
+    ray_spec = lambda rows: pl.BlockSpec(
+        (rows, block), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    dmats = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            ray_spec(3),
+            ray_spec(3),
+            ray_spec(1),
+            ray_spec(3),
+            ray_spec(cfg.max_bounces * 8),
+            full(pmat),
+            full(table),
+            full(etab),
+            full(cdf),
+        ],
+        out_specs=pl.BlockSpec(
+            (3, tp), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, tp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((cfg.max_bounces * REC_ROWS, block), jnp.float32)
+        ],
+        interpret=interpret,
+    )(p, d, alive, g, uniforms, pmat, table, etab, cdf)
+    return dmats[:, :n_tri].T  # (nT, 3)

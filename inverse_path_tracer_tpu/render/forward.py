@@ -461,6 +461,55 @@ def _render_range_pallas_impl(
     return vals.reshape(-1, 3)[: count], stats
 
 
+def _grad_range_pallas(
+    materials: jnp.ndarray,
+    scene: SceneData,
+    key: jax.Array,
+    cfg: RenderConfig,
+    start: jnp.ndarray,
+    count: int,
+    g_vals: jnp.ndarray,
+) -> jnp.ndarray:
+    """Material gradient via the fused backward megakernel
+    (ops/pallas/render_kernel.py grad_tile_pallas): per tile, rebuild the
+    primary rays and uniforms exactly as the forward pass did, then one
+    kernel replays the bounce loop with records in VMEM and returns the
+    (nT, 3) cotangent — no HBM records traffic, no XLA replay."""
+    from inverse_path_tracer_tpu.ops.pallas.render_kernel import grad_tile_pallas
+
+    tile = min(cfg.tile_size, count)
+    n_tiles = -(-count // tile)
+    block = min(4096, tile)
+    interpret = jax.default_backend() != "tpu"
+    g_pad = jnp.concatenate(
+        [g_vals, jnp.zeros((n_tiles * tile - count, 3), g_vals.dtype)], axis=0
+    ).reshape(n_tiles, tile, 3)
+
+    def tile_fn(args):
+        tile_start, g_tile = args
+        idx = tile_start + jnp.arange(tile, dtype=jnp.int32)
+        in_range = idx < cfg.n_samples
+        tkey = jax.random.fold_in(key, tile_start // tile)
+        p, d = camera_rays(scene, cfg, tkey, idx)
+        uniforms = _pallas_uniforms(tkey, cfg, tile)
+        return grad_tile_pallas(
+            materials,
+            scene,
+            cfg,
+            p.T,
+            d.T,
+            in_range.astype(jnp.float32)[None, :],
+            g_tile.T,
+            uniforms,
+            block=block,
+            interpret=interpret,
+        )
+
+    starts = start + jnp.arange(n_tiles, dtype=jnp.int32) * tile
+    grads = jax.lax.map(tile_fn, (starts, g_pad))
+    return jnp.sum(grads, axis=0)
+
+
 def _ct_zero(x):
     """A cotangent-compatible zero for any primal (float0 for ints)."""
     import numpy as onp
@@ -481,17 +530,23 @@ def _pallas_fwd(cfg, count, materials, scene, key, start):
 
 
 def _pallas_bwd(cfg, count, res, g):
-    """Backward: the kernel is forward-only; the gradient comes straight
-    from the analytic records replay (render/diff.py) — the XLA and
-    Pallas forward passes are bit-identical, so the records are valid
-    residuals for the Pallas primal too."""
-    from inverse_path_tracer_tpu.render.diff import grad_from_records_range
-
+    """Backward for the Pallas primal.  grad_mode="custom" (default)
+    runs the fused backward megakernel (records replay + suffix
+    recursion entirely in VMEM); grad_mode="records" keeps the XLA
+    records replay (render/diff.py) as the oracle/ablation path — both
+    compute the same analytic multilinear VJP."""
     materials, scene, key, start = res
     g_vals, _g_stats = g
-    g_mats = grad_from_records_range(
-        materials, scene, key, cfg, start, count, g_vals
-    )
+    if cfg.grad_mode == "custom":
+        g_mats = _grad_range_pallas(
+            materials, scene, key, cfg, start, count, g_vals
+        )
+    else:
+        from inverse_path_tracer_tpu.render.diff import grad_from_records_range
+
+        g_mats = grad_from_records_range(
+            materials, scene, key, cfg, start, count, g_vals
+        )
     return (
         g_mats,
         jax.tree.map(_ct_zero, scene),

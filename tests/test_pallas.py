@@ -41,9 +41,9 @@ def test_pallas_quirk_free_mode(cornell_scene):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
 
 
-def test_pallas_gradient_routes_through_xla(cornell_scene):
-    """jax.grad works on the pallas backend (custom VJP replays XLA) and
-    equals the XLA gradient exactly."""
+def test_pallas_gradient_records_mode_matches_xla(cornell_scene):
+    """grad_mode="records" routes the pallas backward through the XLA
+    records replay and equals the XLA gradient exactly."""
     key = jax.random.PRNGKey(2)
 
     def loss(mats, cfg):
@@ -51,10 +51,29 @@ def test_pallas_gradient_routes_through_xla(cornell_scene):
         return (vals**2).mean()
 
     g_x = jax.grad(lambda m: loss(m, CFG))(cornell_scene.diffuse)
-    g_p = jax.grad(lambda m: loss(m, CFG.with_(backend="pallas")))(
+    g_p = jax.grad(
+        lambda m: loss(m, CFG.with_(backend="pallas", grad_mode="records"))
+    )(cornell_scene.diffuse)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=1e-5, atol=1e-8)
+
+
+@pytest.mark.parametrize("quirks", [True, False])
+def test_pallas_fused_backward_matches_xla_grad(cornell_scene, quirks):
+    """The fused backward megakernel (grad_mode="custom", the default)
+    agrees with jax.grad of the XLA path to float tolerance, with
+    non-uniform cotangents, in both quirk modes."""
+    key = jax.random.PRNGKey(3)
+    cfg = CFG.with_(reference_quirks=quirks)
+
+    def loss(mats, c):
+        vals, _ = render_samples(mats, cornell_scene, key, c)
+        return (vals**2).mean()
+
+    g_x = jax.grad(lambda m: loss(m, cfg))(cornell_scene.diffuse)
+    g_p = jax.grad(lambda m: loss(m, cfg.with_(backend="pallas")))(
         cornell_scene.diffuse
     )
-    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=2e-4, atol=1e-7)
 
 
 def test_pallas_vertex_normal_scene_falls_back():
