@@ -34,6 +34,7 @@ def _cfg_from_args(args):
         tile_size=args.tile,
         p_rr=args.p_rr,
         reference_quirks=not args.no_quirks,
+        backend=args.backend,
     )
 
 
@@ -46,6 +47,9 @@ def _add_render_args(p: argparse.ArgumentParser, width=512, height=512, spp=64):
     p.add_argument("--p-rr", type=float, default=0.9)
     p.add_argument("--no-quirks", action="store_true",
                    help="use the physically-corrected estimator")
+    p.add_argument("--backend", default="auto",
+                   choices=("auto", "xla", "pallas"),
+                   help="auto = fused Pallas kernels on TPU, XLA elsewhere")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--asset-root", default="/root/reference")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")

@@ -68,15 +68,17 @@ class RenderConfig:
     #             and far slower to compile; kept for small configs and
     #             ablation.
     remat: str = "both"
-    # Compute backend for the forward bounce loop:
-    #   "xla"    — the jitted wavefront scan (default; differentiable,
+    # Compute backend for the render / inverse bounce loops:
+    #   "auto"   — the fused Pallas megakernels on a real TPU (flat-
+    #              shaded scenes), the XLA wavefront scan otherwise
+    #              (default).
+    #   "xla"    — force the jitted wavefront scan (differentiable,
     #              works on CPU/TPU, supports vertex-normal meshes).
-    #   "pallas" — the fused VMEM megakernel
-    #              (ops/pallas/render_kernel.py); flat-shaded scenes on
-    #              TPU only (falls back to XLA otherwise).  Gradients
-    #              route through a custom VJP whose backward replays the
-    #              XLA path.
-    backend: str = "xla"
+    #   "pallas" — force the fused VMEM megakernels
+    #              (ops/pallas/render_kernel.py, inverse_kernel.py) even
+    #              off-TPU (interpreter mode — slow, used by tests);
+    #              still falls back to XLA for vertex-normal meshes.
+    backend: str = "auto"
     # Material-gradient strategy:
     #   "custom"  — analytic multilinear VJP.  XLA backend: per-tile
     #               records replay + suffix recursion (render/diff.py).
@@ -88,6 +90,19 @@ class RenderConfig:
     #   "ad"      — (xla backend) plain jax.grad through the
     #               (rematerialized) scan.
     grad_mode: str = "custom"
+    # Uniform-stream source for the Pallas kernels:
+    #   "auto"     — on-core PRNG (pltpu.prng_random_bits) when running
+    #                on a real TPU with grad_mode="custom"; external
+    #                threefry otherwise.  Fused RNG removes the XLA
+    #                threefry generation and the (bounces*8, tile) HBM
+    #                uniforms stream; renders stay deterministic in the
+    #                key and N-chip == 1-chip (seeds are global block
+    #                indices), but samples differ from the XLA path.
+    #   "external" — always feed the XLA threefry uniforms (required for
+    #                bitwise XLA<->Pallas comparison; the only mode the
+    #                CPU interpreter supports).
+    #   "fused"    — force the on-core PRNG where supported.
+    rng: str = "auto"
 
     @property
     def n_samples(self) -> int:

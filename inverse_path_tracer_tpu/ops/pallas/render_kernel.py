@@ -18,10 +18,20 @@ lookup is one (13,Tp)x(Tp,BLOCK) matmul against a one-hot selection
 built from argmin (ties resolve to the lowest triangle index — the
 reference's scan order).
 
-RNG: the kernels consume the SAME threefry uniforms as the XLA path
-(generated outside, passed in as a (bounces*8, tile) input), so the
-backends produce bit-comparable radiance — the XLA renderer is the
-oracle in tests/test_pallas.py.
+RNG, two modes (cfg.rng):
+  * external — the kernels consume the SAME threefry uniforms as the
+    XLA path (generated outside, passed in as a (bounces*8, tile)
+    input), so the backends produce bit-comparable radiance — the XLA
+    renderer is the oracle in tests/test_pallas.py.
+  * fused (TPU only; the "auto" default resolves to it on real TPU
+    with grad_mode="custom") — the per-bounce uniforms come from the
+    on-core PRNG (pltpu.prng_random_bits), seeded per ray block from
+    (threefry tile key words, grid block index), eliminating the XLA
+    threefry generation (~9% of forward) and the (bounces*8, tile)
+    HBM uniforms stream.  Streams are deterministic in the key and
+    depend only on GLOBAL block indices, so N-chip renders stay
+    bit-identical to 1-chip; the forward and backward kernels draw in
+    identical order, so the replay sees the exact forward streams.
 
 Gradients (grad_tile_pallas): the radiance estimator is multilinear in
 the per-bounce diffuse albedos (see render/diff.py for the derivation),
@@ -86,15 +96,21 @@ class _BounceOut(NamedTuple):
     shadow: jnp.ndarray  # (1,B) shadow-ray count increment
 
 
-def _make_bounce(cfg_static, tp, n_emissive, pmat, table, etab, cdf, block):
-    """Build the shared per-bounce forward step.
+class _Geom(NamedTuple):
+    """Shared in-kernel geometry helpers (closures over pmat/block)."""
 
-    Returns bounce(b, u, carry) -> (new_carry, _BounceOut) with
-    carry = (p, d, l_e, l_d, prev_mult, alive), every entry (k, B).
-    Replicates the reference radiance step path_trace.cu:111-144 plus
-    the loop body :175-181 (quirks documented in render/forward.py).
-    """
-    (max_bounces, p_rr, min_dot, epsilon, quirks) = cfg_static
+    intersect: object
+    normalize3: object
+    dot3: object
+    spec_coeff: object
+    rotate_z_to: object
+    iota_t: jnp.ndarray
+    iota_tf: jnp.ndarray
+    ones_row: jnp.ndarray
+    zeros_row: jnp.ndarray
+
+
+def _make_geom(tp, pmat, block, min_dot, epsilon) -> _Geom:
     ones_row = jnp.ones((1, block), dtype=jnp.float32)
     zeros_row = jnp.zeros((1, block), dtype=jnp.float32)
     iota_t = jax.lax.broadcasted_iota(jnp.int32, (tp, block), 0)
@@ -160,6 +176,36 @@ def _make_bounce(cfg_static, tp, n_emissive, pmat, table, etab, cdf, block):
         rz = (-2 * y * w) * vx + (2 * x * w) * vy + (1 - 2 * (x * x + y * y)) * vz
         rotated = jnp.concatenate([rx, ry, rz], axis=0)
         return jnp.where(degenerate, -vec, rotated)
+
+    return _Geom(
+        intersect=intersect,
+        normalize3=normalize3,
+        dot3=dot3,
+        spec_coeff=spec_coeff,
+        rotate_z_to=rotate_z_to,
+        iota_t=iota_t,
+        iota_tf=iota_tf,
+        ones_row=ones_row,
+        zeros_row=zeros_row,
+    )
+
+
+def _make_bounce(cfg_static, tp, n_emissive, pmat, table, etab, cdf, block):
+    """Build the shared per-bounce forward step.
+
+    Returns bounce(b, u, carry) -> (new_carry, _BounceOut) with
+    carry = (p, d, l_e, l_d, prev_mult, alive), every entry (k, B).
+    Replicates the reference radiance step path_trace.cu:111-144 plus
+    the loop body :175-181 (quirks documented in render/forward.py).
+    """
+    (max_bounces, p_rr, min_dot, epsilon, quirks) = cfg_static
+    geom = _make_geom(tp, pmat, block, min_dot, epsilon)
+    intersect = geom.intersect
+    normalize3 = geom.normalize3
+    dot3 = geom.dot3
+    spec_coeff = geom.spec_coeff
+    rotate_z_to = geom.rotate_z_to
+    iota_tf = geom.iota_tf
 
     def bounce(b, u, carry):
         (p, d, l_e, l_d, prev_mult, alive) = carry
@@ -287,15 +333,37 @@ def _make_bounce(cfg_static, tp, n_emissive, pmat, table, etab, cdf, block):
     return bounce
 
 
+def _unit_from_bits(bits) -> jnp.ndarray:
+    """uint32 random bits -> float32 uniforms in [0, 1) (24-bit mantissa:
+    set exponent to 0x3f8 for [1, 2), subtract 1)."""
+    u = (pltpu.bitcast(bits, jnp.uint32) >> jnp.uint32(9)) | jnp.uint32(0x3F800000)
+    return pltpu.bitcast(u, jnp.float32) - 1.0
+
+
+def _make_uniform_stream(fused_rng, u_or_seed_ref, block):
+    """Per-bounce (8, B) uniform source.  External mode slices the
+    precomputed threefry rows; fused mode draws from the on-core PRNG
+    (seeded once per block; fwd/bwd kernels draw in identical order so
+    the backward replay sees the forward streams)."""
+    if fused_rng:
+        # prng_seed takes at most 2 words; fold the global block index
+        # into the first with a Weyl-constant mix (0x9E3779B9).
+        mix = (u_or_seed_ref[2] + pl.program_id(0)) * jnp.int32(-1640531527)
+        pltpu.prng_seed(u_or_seed_ref[0] + mix, u_or_seed_ref[1])
+        return lambda b: _unit_from_bits(pltpu.prng_random_bits((8, block)))
+    return lambda b: u_or_seed_ref[pl.ds(b * 8, 8), :]
+
+
 def _kernel_fwd(
     cfg_static,
     tp,
     n_emissive,
+    fused_rng,
     # refs:
     p_ref,  # (3, BLOCK) ray origins
     d_ref,  # (3, BLOCK) ray dirs
     alive_ref,  # (1, BLOCK) f32 initial alive mask
-    u_ref,  # (bounces*8, BLOCK) uniforms (6 used + 2 pad rows per bounce)
+    u_ref,  # (bounces*8, BLOCK) uniforms, or (3,) SMEM PRNG seed if fused
     pmat_ref,  # (4*Tp, 4) packed plane rows
     table_ref,  # (13, Tp): emission/spec/shin/face_n/kd rows
     etab_ref,  # (17, nE): verts(9) emission(3) face_n(3) idx(1) p(1)
@@ -309,10 +377,11 @@ def _kernel_fwd(
         pmat_ref[:], table_ref[:], etab_ref[:], cdf_ref[:], block,
     )
     max_bounces = cfg_static[0]
+    draw = _make_uniform_stream(fused_rng, u_ref, block)
 
     def body(b, state):
         carry, radiance, segs, shadows = state
-        u = u_ref[pl.ds(b * 8, 8), :]  # (8, B)
+        u = draw(b)  # (8, B)
         carry, out = bounce(b, u, carry)
         return (
             carry,
@@ -336,12 +405,13 @@ def _kernel_bwd(
     cfg_static,
     tp,
     n_emissive,
+    fused_rng,
     # refs:
     p_ref,
     d_ref,
     alive_ref,
     g_ref,  # (3, BLOCK) per-lane radiance cotangent
-    u_ref,
+    u_ref,  # uniforms or (3,) SMEM PRNG seed if fused
     pmat_ref,
     table_ref,
     etab_ref,
@@ -358,10 +428,11 @@ def _kernel_bwd(
     iota_tf = jax.lax.broadcasted_iota(jnp.int32, (tp, block), 0).astype(
         jnp.float32
     )
+    draw = _make_uniform_stream(fused_rng, u_ref, block)
 
     # Pass 1: forward replay, records to VMEM scratch (never HBM).
     def fwd_body(b, carry):
-        u = u_ref[pl.ds(b * 8, 8), :]
+        u = draw(b)
         carry, out = bounce(b, u, carry)
         rec = jnp.concatenate(
             [out.f, out.c, out.nee, out.pm_in, out.coeff, out.tri_f,
@@ -467,6 +538,15 @@ def _cfg_static(cfg):
             cfg.reference_quirks)
 
 
+def _u_spec_and_arg(cfg, uniforms, seed, ray_spec):
+    """The uniforms slot: (spec, arg, fused_rng flag).  seed is a (3,)
+    int32 array (two threefry key words + block offset) when fused."""
+    if seed is not None:
+        spec = pl.BlockSpec((3,), lambda i: (0,), memory_space=pltpu.SMEM)
+        return spec, seed, True
+    return ray_spec(cfg.max_bounces * 8), uniforms, False
+
+
 def render_tile_pallas(
     materials: jnp.ndarray,
     scene,
@@ -474,9 +554,10 @@ def render_tile_pallas(
     p: jnp.ndarray,  # (3, tile)
     d: jnp.ndarray,  # (3, tile)
     alive: jnp.ndarray,  # (1, tile) f32
-    uniforms: jnp.ndarray,  # (bounces*8, tile): 6 used + 2 pad rows per bounce
+    uniforms: jnp.ndarray = None,  # (bounces*8, tile): 6 used + 2 pad per bounce
     block: int = 2048,
     interpret: bool = False,
+    seed: jnp.ndarray = None,  # (3,) int32: fused-RNG mode (TPU only)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Render one ray tile with the fused kernel.
 
@@ -489,13 +570,14 @@ def render_tile_pallas(
     assert tile % block == 0, (tile, block)
     tp, pmat, table, etab, cdf = _pack_tables(scene, materials)
 
-    kernel = functools.partial(_kernel_fwd, _cfg_static(cfg), tp, n_e)
-
     grid = (tile // block,)
     ray_spec = lambda rows: pl.BlockSpec(
         (rows, block), lambda i: (0, i), memory_space=pltpu.VMEM
     )
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    u_spec, u_arg, fused_rng = _u_spec_and_arg(cfg, uniforms, seed, ray_spec)
+
+    kernel = functools.partial(_kernel_fwd, _cfg_static(cfg), tp, n_e, fused_rng)
 
     rad, stats = pl.pallas_call(
         kernel,
@@ -504,7 +586,7 @@ def render_tile_pallas(
             ray_spec(3),
             ray_spec(3),
             ray_spec(1),
-            ray_spec(cfg.max_bounces * 8),
+            u_spec,
             full(pmat),
             full(table),
             full(etab),
@@ -516,7 +598,7 @@ def render_tile_pallas(
             jax.ShapeDtypeStruct((2, tile), jnp.float32),
         ],
         interpret=interpret,
-    )(p, d, alive, uniforms, pmat, table, etab, cdf)
+    )(p, d, alive, u_arg, pmat, table, etab, cdf)
     return rad, stats
 
 
@@ -528,9 +610,10 @@ def grad_tile_pallas(
     d: jnp.ndarray,  # (3, tile)
     alive: jnp.ndarray,  # (1, tile) f32
     g: jnp.ndarray,  # (3, tile) radiance cotangent
-    uniforms: jnp.ndarray,  # (bounces*8, tile)
+    uniforms: jnp.ndarray = None,  # (bounces*8, tile)
     block: int = 2048,
     interpret: bool = False,
+    seed: jnp.ndarray = None,  # (3,) int32: fused-RNG mode (TPU only)
 ) -> jnp.ndarray:
     """Material gradient (nT, 3) for one ray tile, fully fused: forward
     replay + records + suffix recursion all inside the kernel."""
@@ -540,13 +623,14 @@ def grad_tile_pallas(
     assert tile % block == 0, (tile, block)
     tp, pmat, table, etab, cdf = _pack_tables(scene, materials)
 
-    kernel = functools.partial(_kernel_bwd, _cfg_static(cfg), tp, n_e)
-
     grid = (tile // block,)
     ray_spec = lambda rows: pl.BlockSpec(
         (rows, block), lambda i: (0, i), memory_space=pltpu.VMEM
     )
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    u_spec, u_arg, fused_rng = _u_spec_and_arg(cfg, uniforms, seed, ray_spec)
+
+    kernel = functools.partial(_kernel_bwd, _cfg_static(cfg), tp, n_e, fused_rng)
 
     dmats = pl.pallas_call(
         kernel,
@@ -556,7 +640,7 @@ def grad_tile_pallas(
             ray_spec(3),
             ray_spec(1),
             ray_spec(3),
-            ray_spec(cfg.max_bounces * 8),
+            u_spec,
             full(pmat),
             full(table),
             full(etab),
@@ -570,5 +654,5 @@ def grad_tile_pallas(
             pltpu.VMEM((cfg.max_bounces * REC_ROWS, block), jnp.float32)
         ],
         interpret=interpret,
-    )(p, d, alive, g, uniforms, pmat, table, etab, cdf)
+    )(p, d, alive, g, u_arg, pmat, table, etab, cdf)
     return dmats[:, :n_tri].T  # (nT, 3)

@@ -419,6 +419,27 @@ def _pallas_uniforms(tkey: jax.Array, cfg: RenderConfig, n: int) -> jnp.ndarray:
     return jnp.concatenate(rows, axis=0)
 
 
+def _pallas_fused_rng(cfg: RenderConfig, interpret: bool) -> bool:
+    """Whether the kernels should draw uniforms from the on-core PRNG.
+    Requires a real TPU (the interpreter has no PRNG lowering) and the
+    fused backward (grad_mode="custom"): the XLA records replay of
+    grad_mode="records" can only reproduce external threefry streams."""
+    return (
+        cfg.rng in ("auto", "fused")
+        and cfg.grad_mode == "custom"
+        and not interpret
+    )
+
+
+def _pallas_seed(tkey: jax.Array) -> jnp.ndarray:
+    """(3,) int32 PRNG seed for one tile: the two threefry key words
+    (already folded with the GLOBAL tile index, so N-chip == 1-chip)
+    plus a zero slot the kernel offsets with its grid block index."""
+    kd = jax.random.key_data(tkey).reshape(-1)[:2]
+    kd32 = jax.lax.bitcast_convert_type(kd.astype(jnp.uint32), jnp.int32)
+    return jnp.concatenate([kd32, jnp.zeros((1,), jnp.int32)])
+
+
 def _render_range_pallas_impl(
     materials: jnp.ndarray,
     scene: SceneData,
@@ -435,13 +456,15 @@ def _render_range_pallas_impl(
     # 8192 exceeds VMEM.
     block = min(4096, tile)
     interpret = jax.default_backend() != "tpu"
+    fused_rng = _pallas_fused_rng(cfg, interpret)
 
     def tile_fn(tile_start):
         idx = tile_start + jnp.arange(tile, dtype=jnp.int32)
         in_range = idx < cfg.n_samples
         tkey = jax.random.fold_in(key, tile_start // tile)
         p, d = camera_rays(scene, cfg, tkey, idx)
-        uniforms = _pallas_uniforms(tkey, cfg, tile)
+        uniforms = None if fused_rng else _pallas_uniforms(tkey, cfg, tile)
+        seed = _pallas_seed(tkey) if fused_rng else None
         rad, st = render_tile_pallas(
             materials,
             scene,
@@ -452,6 +475,7 @@ def _render_range_pallas_impl(
             uniforms,
             block=block,
             interpret=interpret,
+            seed=seed,
         )
         return rad.T, jnp.sum(st[0]), jnp.sum(st[1])
 
@@ -481,6 +505,7 @@ def _grad_range_pallas(
     n_tiles = -(-count // tile)
     block = min(4096, tile)
     interpret = jax.default_backend() != "tpu"
+    fused_rng = _pallas_fused_rng(cfg, interpret)
     g_pad = jnp.concatenate(
         [g_vals, jnp.zeros((n_tiles * tile - count, 3), g_vals.dtype)], axis=0
     ).reshape(n_tiles, tile, 3)
@@ -491,7 +516,8 @@ def _grad_range_pallas(
         in_range = idx < cfg.n_samples
         tkey = jax.random.fold_in(key, tile_start // tile)
         p, d = camera_rays(scene, cfg, tkey, idx)
-        uniforms = _pallas_uniforms(tkey, cfg, tile)
+        uniforms = None if fused_rng else _pallas_uniforms(tkey, cfg, tile)
+        seed = _pallas_seed(tkey) if fused_rng else None
         return grad_tile_pallas(
             materials,
             scene,
@@ -503,6 +529,7 @@ def _grad_range_pallas(
             uniforms,
             block=block,
             interpret=interpret,
+            seed=seed,
         )
 
     starts = start + jnp.arange(n_tiles, dtype=jnp.int32) * tile
@@ -573,14 +600,26 @@ def render_range(
     is bit-identical to the single-chip render.
 
     cfg.backend selects the XLA wavefront scan or the fused Pallas
-    megakernel (flat-shaded scenes; same threefry uniforms, so the two
-    agree to float tolerance)."""
-    if cfg.backend == "pallas" and scene.vertex_normals.shape[1] == 0:
-        from inverse_path_tracer_tpu.ops.pallas.render_kernel import pallas_available
-
-        if pallas_available():
-            return _render_range_pallas(cfg, count, materials, scene, key, start)
+    megakernel (flat-shaded scenes; same threefry uniforms in
+    rng="external" mode, so the two agree to float tolerance)."""
+    if _use_pallas(cfg, scene):
+        return _render_range_pallas(cfg, count, materials, scene, key, start)
     return _render_range_xla(materials, scene, key, cfg, start, count)
+
+
+def _use_pallas(cfg: RenderConfig, scene: SceneData) -> bool:
+    """Backend resolution: "pallas" forces the kernels (interpret mode
+    off-TPU), "auto" uses them on a real TPU only, "xla" never; vertex-
+    normal meshes always take the XLA path (the kernels are flat-shaded)."""
+    if cfg.backend == "xla" or scene.vertex_normals.shape[1] != 0:
+        return False
+    from inverse_path_tracer_tpu.ops.pallas.render_kernel import pallas_available
+
+    if not pallas_available():
+        return False
+    return cfg.backend == "pallas" or (
+        cfg.backend == "auto" and jax.default_backend() == "tpu"
+    )
 
 
 def render_samples(

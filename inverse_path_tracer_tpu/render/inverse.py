@@ -248,6 +248,69 @@ def _inv_bounce(
     )
 
 
+def _inv_uniforms(tkey: jax.Array, cfg: RenderConfig, n: int) -> jnp.ndarray:
+    """The XLA inverse loop's per-bounce uniforms stacked for the fused
+    kernel: 7 used + 1 zero pad row per bounce (sublane-aligned dynamic
+    slices).  Same keys => the two backends see identical randomness."""
+    rows = []
+    for b in range(cfg.max_bounces):
+        u = jax.random.uniform(jax.random.fold_in(tkey, b), (7, n))
+        rows.append(jnp.concatenate([u, jnp.zeros((1, n), u.dtype)], axis=0))
+    return jnp.concatenate(rows, axis=0)
+
+
+def _trace_transport_range_pallas(
+    scene: SceneData,
+    target_image01: jnp.ndarray,
+    key: jax.Array,
+    cfg: RenderConfig,
+    start: jnp.ndarray,
+    count: int,
+) -> TransportGrids:
+    """Fused-kernel transport extraction
+    (ops/pallas/inverse_kernel.py): the whole inverse bounce loop with
+    the dense edge grids resident in VMEM."""
+    from inverse_path_tracer_tpu.ops.pallas.inverse_kernel import (
+        grids_from_acc,
+        inverse_tile_pallas,
+    )
+    from inverse_path_tracer_tpu.render.forward import _pallas_seed
+
+    n_tri = scene.n_tri
+    target_flat = target_image01.reshape(-1, 3)
+    tile = min(cfg.tile_size, count)
+    n_tiles = -(-count // tile)
+    block = min(4096, tile)
+    interpret = jax.default_backend() != "tpu"
+    fused_rng = cfg.rng in ("auto", "fused") and not interpret
+
+    def tile_fn(tile_start):
+        idx = tile_start + jnp.arange(tile, dtype=jnp.int32)
+        in_range = idx < cfg.n_samples
+        tkey = jax.random.fold_in(key, tile_start // tile)
+        p, d = camera_rays(scene, cfg, tkey, idx)
+        pix_idx = jnp.clip(idx // cfg.spp, 0, cfg.width * cfg.height - 1)
+        pixel_colors = target_flat[pix_idx]
+        uniforms = None if fused_rng else _inv_uniforms(tkey, cfg, tile)
+        seed = _pallas_seed(tkey) if fused_rng else None
+        return inverse_tile_pallas(
+            scene,
+            cfg,
+            p.T,
+            d.T,
+            in_range.astype(jnp.float32)[None, :],
+            pixel_colors.T,
+            uniforms,
+            block=block,
+            interpret=interpret,
+            seed=seed,
+        )
+
+    starts = start + jnp.arange(n_tiles, dtype=jnp.int32) * tile
+    accs = jax.lax.map(tile_fn, starts)
+    return grids_from_acc(jnp.sum(accs, axis=0), n_tri)
+
+
 def trace_transport_range(
     scene: SceneData,
     target_image01: jnp.ndarray,  # (H, W, 3) float in [0,1] (PNG / 255)
@@ -257,7 +320,17 @@ def trace_transport_range(
     count: int,
 ) -> TransportGrids:
     """Accumulate transport grids for `count` samples starting at `start`
-    (the shardable unit; grids from shards/chips sum)."""
+    (the shardable unit; grids from shards/chips sum).
+
+    cfg.backend selects the XLA wavefront scan (the general/oracle path)
+    or the fused Pallas inverse megakernel (flat-shaded scenes with
+    p_spec == 0; tests/test_pallas_inverse.py asserts equality)."""
+    from inverse_path_tracer_tpu.render.forward import _use_pallas
+
+    if cfg.p_spec == 0.0 and _use_pallas(cfg, scene):
+        return _trace_transport_range_pallas(
+            scene, target_image01, key, cfg, start, count
+        )
     n_tri = scene.n_tri
     target_flat = target_image01.reshape(-1, 3)
     tile = min(cfg.tile_size, count)
