@@ -63,6 +63,36 @@ def bench_forward(scene, cfg, iters=3):
     return rays / dt, rays
 
 
+def bench_inverse(scene, cfg, iters=2):
+    """Transport-graph extraction (the reference's createGraph) at the
+    same ray workload; rays/s-equiv uses the forward ray count."""
+    from inverse_path_tracer_tpu.render.inverse import (
+        compress_grids,
+        trace_transport_range,
+    )
+
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+
+    @jax.jit
+    def run(key):
+        grids = trace_transport_range(
+            scene, target, key, cfg, jnp.int32(0), cfg.n_samples
+        )
+        return compress_grids(grids, scene.n_tri)
+
+    t0 = time.time()
+    jax.block_until_ready(run(jax.random.PRNGKey(0)))
+    log(f"inverse compile+first run: {time.time() - t0:.1f}s")
+    times = []
+    for i in range(iters):
+        t0 = time.time()
+        jax.block_until_ready(run(jax.random.PRNGKey(i + 1)))
+        times.append(time.time() - t0)
+    dt = min(times)
+    log(f"inverse: {dt:.3f}s best of {iters}")
+    return dt
+
+
 def bench_forward_backward(scene, cfg, iters=3):
     def loss_fn(mats, key):
         vals, stats = render_samples(mats, scene, key, cfg)
@@ -107,10 +137,11 @@ def main():
     log(f"config: {width}x{height} {spp}spp {bounces} bounces tile={tile} "
         f"backend={backend}")
 
-    fwd_rps, _ = bench_forward(scene, cfg)
+    fwd_rps, fwd_rays = bench_forward(scene, cfg)
     # fwd+bwd: Pallas primal + fused Pallas backward megakernel (records
     # replay + suffix recursion in VMEM); same tile as the forward.
     fwdbwd_rps, _ = bench_forward_backward(scene, cfg)
+    inverse_s = bench_inverse(scene, cfg)
 
     # vs_baseline: ratio to this harness's first recorded number.
     if os.path.exists(BASE_FILE):
@@ -131,6 +162,8 @@ def main():
         "vs_baseline": fwd_rps / base["fwd_rays_per_sec"],
         "fwd_bwd_rays_per_sec": fwdbwd_rps,
         "fwd_bwd_vs_baseline": fwdbwd_rps / base.get("fwdbwd_rays_per_sec", fwdbwd_rps),
+        "inverse_extract_s": inverse_s,
+        "inverse_rays_per_sec_equiv": fwd_rays / inverse_s,
     }
     print(json.dumps(result), flush=True)
 

@@ -131,6 +131,9 @@ def cmd_train_gcn(args):
         lr=args.lr,
         log_every=args.log_every,
         log_fn=lambda s, l: logger.log(step=s, loss=l),
+        checkpoint_path=args.checkpoint,
+        checkpoint_every=args.checkpoint_every,
+        resume=args.resume,
     )
     save_checkpoint(args.out, params, step=args.epochs, final_loss=loss)
     print(f"final L1 loss {loss:.5f}; checkpoint -> {args.out}")
@@ -164,6 +167,9 @@ def cmd_recover(args):
         log_fn=lambda s, l: logger.log(step=s, loss=l)
         if s % args.log_every == 0
         else None,
+        checkpoint_path=args.checkpoint,
+        checkpoint_every=args.checkpoint_every,
+        resume=args.resume,
     )
     err = np.abs(np.asarray(mats) - np.asarray(scene.diffuse))
     print(f"recovered materials: mean |Kd err| vs scene labels = {err.mean():.4f}")
@@ -348,6 +354,10 @@ def main(argv=None):
     pt.add_argument("--log", default=None, help="JSONL metrics path")
     pt.add_argument("--seed", type=int, default=0)
     pt.add_argument("--cpu", action="store_true")
+    pt.add_argument("--checkpoint", default=None, help="npz checkpoint path")
+    pt.add_argument("--checkpoint-every", type=int, default=0)
+    pt.add_argument("--resume", action="store_true",
+                    help="resume from --checkpoint if it exists")
     pt.set_defaults(fn=cmd_train_gcn)
 
     pv = sub.add_parser("recover", help="gradient-based material recovery")
@@ -360,6 +370,10 @@ def main(argv=None):
     pv.add_argument("--shard", action="store_true", help="shard rays over all devices")
     pv.add_argument("--log", default=None)
     pv.add_argument("--log-every", type=int, default=10)
+    pv.add_argument("--checkpoint", default=None, help="npz checkpoint path")
+    pv.add_argument("--checkpoint-every", type=int, default=0)
+    pv.add_argument("--resume", action="store_true",
+                    help="resume from --checkpoint if it exists")
     _add_render_args(pv, width=128, height=128, spp=16)
     pv.set_defaults(fn=cmd_recover)
 

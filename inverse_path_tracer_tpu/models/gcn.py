@@ -117,15 +117,32 @@ def train_gcn(
     lr: float = 1e-4,
     log_every: int = 1000,
     log_fn=None,
+    checkpoint_path: str = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
 ):
     """Training loop with the reference schedule (Adam lr 1e-4, 100k
     full-batch epochs, ipt.py:110-111).  Runs in log_every-sized jitted
-    scan chunks so the host loop is negligible."""
+    scan chunks so the host loop is negligible.
+
+    Checkpoint/resume (SURVEY.md §5): (params, opt_state) saved every
+    `checkpoint_every` epochs (rounded to chunk boundaries); resume=True
+    restores and continues — training is deterministic given key, so the
+    resumed run matches an uninterrupted one."""
+    import os
+
     import optax
 
     params = init_gcn(key)
     opt = optax.adam(lr)
     opt_state = opt.init(params)
+    start_epoch = 0
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        from inverse_path_tracer_tpu.utils.checkpoint import load_checkpoint
+
+        (params, opt_state), start_epoch = load_checkpoint(
+            checkpoint_path, (params, opt_state)
+        )
 
     if adj.ndim == 3:
         loss_fn = lambda p: jax.vmap(lambda a, xx, ll: gcn_loss(p, a, xx, ll))(
@@ -150,12 +167,22 @@ def train_gcn(
         )
         return params, opt_state, losses[-1]
 
-    done = 0
+    done = start_epoch
     loss = None
+    last_ckpt = start_epoch
     while done < epochs:
         n = min(log_every, epochs - done)
         params, opt_state, loss = chunk(params, opt_state, n)
         done += n
         if log_fn is not None:
             log_fn(done, float(loss))
-    return params, float(loss)
+        if (
+            checkpoint_path
+            and checkpoint_every
+            and done - last_ckpt >= checkpoint_every
+        ):
+            from inverse_path_tracer_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(checkpoint_path, (params, opt_state), step=done)
+            last_ckpt = done
+    return params, float(loss) if loss is not None else float("nan")

@@ -107,15 +107,34 @@ def recover_materials(
     mesh=None,
     log_fn: Optional[Callable[[int, float], None]] = None,
     resample_every: int = 1,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
 ) -> Tuple[jnp.ndarray, List[float]]:
     """Recover per-triangle Kd for one scene against a target image.
 
     resample_every: draw a fresh render key every k steps (fresh MC
-    sample sets de-bias the estimator; k=1 is SGD on the true loss)."""
+    sample sets de-bias the estimator; k=1 is SGD on the true loss).
+
+    Checkpoint/resume (SURVEY.md §5 — absent in the reference): every
+    `checkpoint_every` steps the (theta, opt_state) pytree is written
+    atomically to checkpoint_path; with resume=True training continues
+    from the saved step.  The per-step render key is a pure function of
+    (key, step), so a resumed run is bit-identical to an uninterrupted
+    one."""
+    import os
+
     key = jax.random.PRNGKey(0) if key is None else key
     opt = optax.adam(lr)
     theta = jnp.zeros_like(scene.diffuse)
     state = opt.init(theta)
+    start_step = 0
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        from inverse_path_tracer_tpu.utils.checkpoint import load_checkpoint
+
+        (theta, state), start_step = load_checkpoint(
+            checkpoint_path, (theta, state)
+        )
     if mesh is not None:
         from inverse_path_tracer_tpu.parallel.shard import make_recover_step
 
@@ -124,12 +143,15 @@ def recover_materials(
         step = make_single_chip_step(scene, cfg, opt)
 
     losses = []
-    rkey = key
-    for i in range(steps):
-        if i % max(resample_every, 1) == 0:
-            rkey = jax.random.fold_in(key, i)
+    r = max(resample_every, 1)
+    for i in range(start_step, steps):
+        rkey = jax.random.fold_in(key, i - i % r)
         theta, state, loss = step(theta, state, rkey, target01)
         losses.append(float(loss))
         if log_fn is not None:
             log_fn(i, losses[-1])
+        if checkpoint_path and checkpoint_every and (i + 1) % checkpoint_every == 0:
+            from inverse_path_tracer_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(checkpoint_path, (theta, state), step=i + 1)
     return jax.nn.sigmoid(theta), losses

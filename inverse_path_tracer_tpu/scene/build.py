@@ -71,6 +71,12 @@ class SceneData(NamedTuple):
     emissive_idx: jnp.ndarray  # (nE,) int32 global triangle index
     emissive_p: jnp.ndarray  # (nE,) selection prob = area_i / sum(area)
     emissive_cdf: jnp.ndarray  # (nE,) inclusive cumsum of emissive_p
+    # (nS,) int32 indices of triangles with any Ks channel > 0.  Like
+    # vertex_normals' empty second dim, the empty case is a *static*
+    # signal: the Pallas kernels drop every specular term (the Phong
+    # pow() transcendentals, ~25% of the bounce loop) when nS == 0 —
+    # true for every reference asset.
+    specular_idx: jnp.ndarray
     cam_m33: jnp.ndarray  # (3, 3) ray transform (see module docstring)
     # Packed homogeneous plane equations for the fast intersector:
     # (4, 4*nT), column block t holds 4 plane 4-vectors [P0 E0 E1 E2]
@@ -282,6 +288,7 @@ def build_scene(
 
     emissive_mask = (emission > 0).any(axis=-1)
     emissive_idx = np.nonzero(emissive_mask)[0].astype(np.int32)
+    specular_idx = np.nonzero((specular > 0).any(axis=-1))[0].astype(np.int32)
     e_area = area[emissive_idx].astype(np.float32)
     total = e_area.sum()
     emissive_p = e_area / total if emissive_idx.size else e_area
@@ -302,6 +309,7 @@ def build_scene(
         emissive_idx=jnp.asarray(emissive_idx),
         emissive_p=jnp.asarray(emissive_p.astype(np.float32)),
         emissive_cdf=jnp.asarray(emissive_cdf),
+        specular_idx=jnp.asarray(specular_idx),
         cam_m33=jnp.asarray(camera_matrix(camera)),
         plane_mat=jnp.asarray(plane_mat),
     )

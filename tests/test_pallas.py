@@ -95,3 +95,46 @@ def test_pallas_vertex_normal_scene_falls_back():
     a, _ = render_samples(scene.diffuse, scene, key, cfg)
     b, _ = render_samples(scene.diffuse, scene, key, cfg.with_(backend="pallas"))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+def test_pallas_specular_scene_matches_xla(tmp_path):
+    """A scene with Ks > 0 exercises the kernels' general (Phong)
+    branch, which must still match the XLA oracle (fwd + grad)."""
+    from inverse_path_tracer_tpu.scene.build import build_scene
+    from inverse_path_tracer_tpu.scene.dsl import ObjectParams
+
+    mtl = tmp_path / "spec.mtl"
+    mtl.write_text("newmtl m\nKd 0.5 0.3 0.2\nKs 0.4 0.4 0.4\nNs 16\n")
+    # cube.obj has no usemtl, so faces take the default material; bind
+    # them to the specular one explicitly.
+    obj = tmp_path / "cube.obj"
+    with open("/root/reference/shapes/cube.obj") as f:
+        obj.write_text("usemtl m\n" + f.read())
+    scene = build_scene(
+        [
+            ObjectParams(
+                pos=(0, 0, 4),
+                scl=(2, 2, 2),
+                obj_file="/root/reference/CornellBox/CornellBox-Empty-CO.obj",
+                mtl_file="/root/reference/CornellBox/CornellBox-Empty-CO.mtl",
+            ),
+            ObjectParams(
+                pos=(0, -1.5, 4),
+                obj_file=str(obj),
+                mtl_file=str(mtl),
+            ),
+        ]
+    )
+    assert scene.specular_idx.shape[0] > 0  # the general branch is active
+    key = jax.random.PRNGKey(4)
+    cfg = CFG.with_(width=8, height=8, spp=4, tile_size=256)
+    ref, _ = render_samples(scene.diffuse, scene, key, cfg)
+    got, _ = render_samples(scene.diffuse, scene, key, cfg.with_(backend="pallas"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+    def loss(mats, c):
+        vals, _ = render_samples(mats, scene, key, c)
+        return (vals**2).mean()
+
+    g_x = jax.grad(lambda m: loss(m, cfg))(scene.diffuse)
+    g_p = jax.grad(lambda m: loss(m, cfg.with_(backend="pallas")))(scene.diffuse)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=2e-4, atol=1e-7)

@@ -69,3 +69,48 @@ def test_recover_single_chip(cornell_scene):
     err0 = np.abs(0.5 - np.asarray(cornell_scene.diffuse)).mean()  # sigmoid(0)=.5 start
     err = np.abs(np.asarray(mats) - np.asarray(cornell_scene.diffuse)).mean()
     assert err < err0 * 0.7
+
+def test_recover_checkpoint_resume_deterministic(cornell_scene, tmp_path):
+    """A run interrupted at step 6 and resumed matches the uninterrupted
+    12-step run exactly (counter-based keys + restored opt state)."""
+    import jax
+    from inverse_path_tracer_tpu.config import RenderConfig
+    from inverse_path_tracer_tpu.models.recover import recover_materials
+
+    cfg = RenderConfig(width=16, height=16, spp=2, max_bounces=3, tile_size=512)
+    target = np.zeros((16, 16, 3), dtype=np.float32) + 0.3
+    ckpt = str(tmp_path / "rec.npz")
+    full, _ = recover_materials(
+        cornell_scene, target, cfg, steps=12, lr=0.1, key=jax.random.PRNGKey(3)
+    )
+    # interrupted: checkpoint at 6, stop
+    recover_materials(
+        cornell_scene, target, cfg, steps=6, lr=0.1, key=jax.random.PRNGKey(3),
+        checkpoint_path=ckpt, checkpoint_every=6,
+    )
+    resumed, losses = recover_materials(
+        cornell_scene, target, cfg, steps=12, lr=0.1, key=jax.random.PRNGKey(3),
+        checkpoint_path=ckpt, resume=True,
+    )
+    assert len(losses) == 6  # only steps 6..11 ran
+    np.testing.assert_array_equal(np.asarray(resumed), np.asarray(full))
+
+
+def test_gcn_checkpoint_resume(tmp_path):
+    """GCN training resumes from a checkpoint to the same params."""
+    import jax
+    import jax.numpy as jnp
+    from inverse_path_tracer_tpu.models.gcn import train_gcn
+
+    key = jax.random.PRNGKey(0)
+    adj = jnp.eye(8) * 0.5
+    x = jnp.linspace(0, 1, 24).reshape(8, 3)
+    y = 1.0 - x
+    ckpt = str(tmp_path / "gcn.npz")
+    full, _ = train_gcn(key, adj, x, y, epochs=40, lr=1e-3, log_every=10)
+    train_gcn(key, adj, x, y, epochs=20, lr=1e-3, log_every=10,
+              checkpoint_path=ckpt, checkpoint_every=20)
+    resumed, _ = train_gcn(key, adj, x, y, epochs=40, lr=1e-3, log_every=10,
+                           checkpoint_path=ckpt, resume=True)
+    for k in full:
+        np.testing.assert_array_equal(np.asarray(resumed[k]), np.asarray(full[k]))
