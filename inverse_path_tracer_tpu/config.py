@@ -103,6 +103,16 @@ class RenderConfig:
     #                CPU interpreter supports).
     #   "fused"    — force the on-core PRNG where supported.
     rng: str = "auto"
+    # Ray-intersection strategy for the XLA path:
+    #   "auto"/"brute" — the dense plane-matmul sweep over all triangles
+    #                    (MXU-optimal at the reference's scene sizes and
+    #                    well past 1k triangles; SURVEY.md §7.2).
+    #   "bvh"          — stack-based BVH traversal (ops/bvh.py); for
+    #                    scenes far beyond that regime.  Requires a scene
+    #                    with an attached BVH (load_scene(with_bvh=True)
+    #                    or ops.bvh.attach_bvh).  The Pallas kernels
+    #                    always use the dense sweep.
+    intersect: str = "auto"
 
     @property
     def n_samples(self) -> int:

@@ -133,6 +133,13 @@ def build_bvh(scene: SceneData, leaf_size: int = 4, use_native=None) -> BVHData:
     )
 
 
+def attach_bvh(scene: SceneData, leaf_size: int = 4) -> SceneData:
+    """Return the scene with a built BVH in its `bvh` field (consumed by
+    the XLA renderer when cfg.intersect == "bvh")."""
+    b = build_bvh(scene, leaf_size=leaf_size)
+    return scene._replace(bvh=tuple(b))
+
+
 def _slab_test(bmin, bmax, p, inv_d, best_t):
     """Correct branchless slab AABB test (NOT the reference's
     origin-inside variant, which is dead code; SURVEY.md §3.5(d))."""

@@ -114,10 +114,10 @@ def _kernel_inv(
     def body(b, state):
         (p, d, w, dst_f, alive, acc) = state
         u = draw(b)
-        t_best, hit, sel, point = geom.intersect(p, d)
+        t_best, hit, sel, idx_f, point = geom.intersect(p, d)
         act = alive
         hit_act = act * hit.astype(jnp.float32)
-        src_f = jnp.sum(sel * geom.iota_tf, axis=0, keepdims=True)  # (1,B)
+        src_f = idx_f  # (1,B) argmin index, masked to 0 on miss
         hv = jnp.dot(table, sel, preferred_element_type=jnp.float32)
         face_n = hv[7:10]
 
@@ -148,13 +148,14 @@ def _kernel_inv(
             to_light = geom.normalize3(emm_point - point)
             cos_theta = geom.dot3(face_n, to_light)
             ok = hit_act * (cos_theta >= 0.0).astype(jnp.float32)
-            st_best, s_hit, s_sel, _sp = geom.intersect(point, to_light)
+            st_best, s_hit, _s_sel, s_idx_f, _sp = geom.intersect(
+                point, to_light, want_sel=False
+            )
             ok = ok * s_hit.astype(jnp.float32)
             light_n = row[12:15]
             cos_theta_p = -geom.dot3(light_n, to_light)
             ok = ok * (cos_theta_p >= 0.0).astype(jnp.float32)
-            shadow_idx_f = jnp.sum(s_sel * geom.iota_tf, axis=0, keepdims=True)
-            ok = ok * (shadow_idx_f == row[15:16]).astype(jnp.float32)
+            ok = ok * (s_idx_f == row[15:16]).astype(jnp.float32)
             nee_w = (
                 w
                 * cos_theta

@@ -116,12 +116,15 @@ def _make_geom(tp, pmat, block, min_dot, epsilon) -> _Geom:
     iota_t = jax.lax.broadcasted_iota(jnp.int32, (tp, block), 0)
     iota_tf = iota_t.astype(jnp.float32)
 
-    def intersect(p, d):
-        """-> (t_best (1,B), hit (1,B) bool, sel (Tp,B) f32, point (3,B)).
+    def intersect(p, d, want_sel=True):
+        """-> (t_best (1,B), hit (1,B) bool, sel (Tp,B) f32 or None,
+               idx_f (1,B) f32 hit index masked to 0 on miss, point (3,B)).
 
         One packed matmul: rows [j*Tp:(j+1)*Tp] of pmat are plane j
         (j=0 the face plane, j=1..3 the edge planes), rhs columns
-        [:B] homogeneous origins, [B:] homogeneous directions."""
+        [:B] homogeneous origins, [B:] homogeneous directions.
+        want_sel=False (NEE shadow rays — only the hit *identity* is
+        checked, inv_path_trace.cu:81) skips the (Tp,B) one-hot."""
         p4 = jnp.concatenate([p, ones_row], axis=0)  # (4, B)
         d4 = jnp.concatenate([d, zeros_row], axis=0)
         pd4 = jnp.concatenate([p4, d4], axis=1)  # (4, 2B)
@@ -139,10 +142,11 @@ def _make_geom(tp, pmat, block, min_dot, epsilon) -> _Geom:
         t_best = jnp.min(t_masked, axis=0, keepdims=True)  # (1, B)
         hit = jnp.isfinite(t_best)
         idx = jnp.argmin(t_masked, axis=0).astype(jnp.int32)[None, :]  # (1, B)
-        sel = ((iota_t == idx) & hit).astype(jnp.float32)  # (Tp, B)
+        idx_f = jnp.where(hit, idx.astype(jnp.float32), 0.0)
+        sel = ((iota_t == idx) & hit).astype(jnp.float32) if want_sel else None
         t_safe = jnp.where(hit, t_best, 0.0)
         point = p + d * t_safe
-        return t_best, hit, sel, point
+        return t_best, hit, sel, idx_f, point
 
     def normalize3(v):
         n = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
@@ -214,7 +218,7 @@ def _make_bounce(cfg_static, tp, n_emissive, no_spec, pmat, table, etab, cdf,
 
     def bounce(b, u, carry):
         (p, d, l_e, l_d, prev_mult, alive) = carry
-        t_best, hit, sel, point = intersect(p, d)
+        t_best, hit, sel, idx_f, point = intersect(p, d)
         act = alive  # (1, B) f32 0/1
         hit_act = act * hit.astype(jnp.float32)
 
@@ -255,13 +259,14 @@ def _make_bounce(cfg_static, tp, n_emissive, no_spec, pmat, table, etab, cdf,
             to_light = normalize3(emm_point - point)
             cos_theta = dot3(shade_n, to_light)
             ok = hit_act * (cos_theta >= 0.0).astype(jnp.float32)
-            st_best, s_hit, s_sel, _s_point = intersect(point, to_light)
+            st_best, s_hit, _s_sel, s_idx_f, _s_point = intersect(
+                point, to_light, want_sel=False
+            )
             ok = ok * s_hit.astype(jnp.float32)
             light_n = row[12:15]
             cos_theta_p = -dot3(light_n, to_light)
             ok = ok * (cos_theta_p >= 0.0).astype(jnp.float32)
-            shadow_idx_f = jnp.sum(s_sel * iota_tf, axis=0, keepdims=True)
-            ok = ok * (shadow_idx_f == row[15:16]).astype(jnp.float32)
+            ok = ok * (s_idx_f == row[15:16]).astype(jnp.float32)
             geom = (
                 cos_theta
                 * cos_theta_p
@@ -326,7 +331,7 @@ def _make_bounce(cfg_static, tp, n_emissive, no_spec, pmat, table, etab, cdf,
         coeff = jnp.where(cont > 0, coeff, 0.0)
         f = bsdf * coeff
 
-        tri_f = jnp.sum(sel * iota_tf, axis=0, keepdims=True)
+        tri_f = idx_f  # argmin index, masked to 0 on miss
         out = _BounceOut(
             contrib=jnp.where(contrib_mask > 0, prev_mult * c, 0.0),
             f=f,

@@ -97,6 +97,27 @@ def camera_rays(
     return p, d
 
 
+def _intersect(
+    scene: SceneData, cfg: RenderConfig, p: jnp.ndarray, d: jnp.ndarray
+) -> Tuple[Intersection, jnp.ndarray]:
+    """Intersection + one-hot selection, per cfg.intersect: the dense
+    plane-matmul sweep (default; MXU-optimal at these scene sizes) or
+    stack-based BVH traversal (cfg.intersect="bvh" on a scene with an
+    attached BVH — ops/bvh.py attach_bvh / load_scene(with_bvh=True))."""
+    if cfg.intersect == "bvh" and len(scene.bvh):
+        from inverse_path_tracer_tpu.ops.bvh import BVHData, intersect_bvh
+
+        isect = intersect_bvh(
+            scene, BVHData(*scene.bvh), p, d, cfg.min_dot, cfg.epsilon
+        )
+        sel = (
+            (isect.tri[:, None] == jnp.arange(scene.n_tri)[None, :])
+            & isect.hit[:, None]
+        ).astype(p.dtype)
+        return isect, sel
+    return intersect_onehot(scene, p, d, cfg.min_dot, cfg.epsilon)
+
+
 def _emissive_table(scene: SceneData) -> jnp.ndarray:
     """(E, 17) packed per-emissive table: verts 0:9, emission 9:12,
     face_normal 12:15, global tri index 15, selection prob 16.  Rows are
@@ -154,9 +175,7 @@ def direct_lighting(
     cos_theta = jnp.sum(shade_n * to_light, axis=-1)
     ok = cos_theta >= 0.0  # reference rejects cos < 0 strictly (:71)
 
-    shadow, sel_sh = intersect_onehot(
-        scene, isect.point, to_light, cfg.min_dot, cfg.epsilon
-    )
+    shadow, sel_sh = _intersect(scene, cfg, isect.point, to_light)
     ok = ok & shadow.hit
 
     # Normal of the light at the shadow hit: face normal for flat meshes
@@ -223,9 +242,7 @@ def _bounce_step(
     n = state.ray_p.shape[0]
     # One threefry dispatch per bounce for all six uniform streams.
     u = jax.random.uniform(jax.random.fold_in(key, bounce), (6, n))
-    isect, sel = intersect_onehot(
-        scene, state.ray_p, state.ray_d, cfg.min_dot, cfg.epsilon
-    )
+    isect, sel = _intersect(scene, cfg, state.ray_p, state.ray_d)
     act = state.alive
     hit_act = act & isect.hit
 
@@ -613,6 +630,8 @@ def _use_pallas(cfg: RenderConfig, scene: SceneData) -> bool:
     normal meshes always take the XLA path (the kernels are flat-shaded)."""
     if cfg.backend == "xla" or scene.vertex_normals.shape[1] != 0:
         return False
+    if cfg.intersect == "bvh" and len(scene.bvh):
+        return False  # the kernels always brute-force; honor the request
     from inverse_path_tracer_tpu.ops.pallas.render_kernel import pallas_available
 
     if not pallas_available():

@@ -86,6 +86,10 @@ class SceneData(NamedTuple):
     #   t = A[..,0] / -B[..,0];  sd_j = A[..,1+j] + t * B[..,1+j].
     # Two (R,4)x(4,4T) matmuls replace the eight (R,3)x(3,T) sweeps.
     plane_mat: jnp.ndarray
+    # Optional linearized BVH (the 6 BVHData arrays as a tuple; empty
+    # tuple = none attached).  Populated by ops.bvh.attach_bvh /
+    # load_scene(with_bvh=True); consumed when cfg.intersect == "bvh".
+    bvh: tuple = ()
 
     @property
     def n_tri(self) -> int:
@@ -319,6 +323,7 @@ def load_scene(
     scenefile: str,
     camera: CameraConfig = CameraConfig(),
     asset_root: Optional[str] = None,
+    with_bvh: bool = False,
 ) -> SceneData:
     """Load a scene DSL file (reference ipt_cuda.py:109-113 load_scene).
 
@@ -327,4 +332,9 @@ def load_scene(
     keeps scene files in `scenes/`."""
     if asset_root is None:
         asset_root = os.path.dirname(os.path.dirname(os.path.abspath(scenefile)))
-    return build_scene(load_params(scenefile), camera=camera, asset_root=asset_root)
+    scene = build_scene(load_params(scenefile), camera=camera, asset_root=asset_root)
+    if with_bvh:
+        from inverse_path_tracer_tpu.ops.bvh import attach_bvh
+
+        scene = attach_bvh(scene)
+    return scene

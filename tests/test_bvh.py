@@ -74,3 +74,38 @@ def test_bvh_sphere_1280_tris():
     assert bvh.n_nodes > 100  # a real tree, not one leaf
     p, d = _random_rays(256, 2, origin=(0, 0, 4), spread=2.0)
     _check_matches_brute(scene, p, d)
+
+def test_render_with_bvh_matches_brute():
+    """cfg.intersect="bvh" renders the sphere scene identically to the
+    dense sweep (same RNG; only the intersector changes)."""
+    import jax
+    from inverse_path_tracer_tpu.config import RenderConfig
+    from inverse_path_tracer_tpu.ops.bvh import attach_bvh
+    from inverse_path_tracer_tpu.render.forward import render_samples
+    from inverse_path_tracer_tpu.scene.build import build_scene
+    from inverse_path_tracer_tpu.scene.dsl import ObjectParams
+
+    scene = build_scene(
+        [
+            ObjectParams(
+                pos=(0, 0, 4),
+                scl=(2, 2, 2),
+                obj_file="/root/reference/CornellBox/CornellBox-Empty-CO.obj",
+                mtl_file="/root/reference/CornellBox/CornellBox-Empty-CO.mtl",
+            ),
+            ObjectParams(
+                pos=(0, -1.5, 4),
+                obj_file="/root/reference/shapes/sphere.obj",
+                mtl_file="*Kd 0.6 0.6 0.6*",
+            ),
+        ]
+    )
+    scene_b = attach_bvh(scene)
+    key = jax.random.PRNGKey(0)
+    cfg = RenderConfig(width=8, height=8, spp=2, max_bounces=3, tile_size=128)
+    a, sa = render_samples(scene.diffuse, scene, key, cfg)
+    b, sb = render_samples(
+        scene_b.diffuse, scene_b, key, cfg.with_(intersect="bvh")
+    )
+    assert float(sa.segments) == float(sb.segments)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
