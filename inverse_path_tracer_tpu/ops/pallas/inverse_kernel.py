@@ -64,8 +64,8 @@ def _kernel_inv(
     pix_ref,  # (3, BLOCK) observed pixel color per lane
     u_ref,  # (bounces*8, BLOCK) uniforms, or (3,) SMEM PRNG seed if fused
     pmat_ref,  # (4*Tp, 4) packed plane rows
-    table_ref,  # (13, Tp) — face normals at rows 7:10
-    etab_ref,  # (17, nE)
+    table_ref,  # (13|32, Tp) — face normals at rows 7:10 (+vn rows)
+    etab_ref,  # (17|27, nE)
     cdf_ref,  # (nE, 1)
     acc_ref,  # out (tpd, N_QUANT*Tp), accumulated across the grid
 ):
@@ -73,6 +73,7 @@ def _kernel_inv(
     block = p_ref.shape[1]
     geom = _make_geom(tp, pmat_ref[:], block, min_dot, epsilon)
     table = table_ref[:]
+    has_vn = table.shape[0] > 13  # static: 32 rows iff vertex normals
     etab = etab_ref[:]
     cdf = cdf_ref[:]
     pix = pix_ref[:]
@@ -120,6 +121,13 @@ def _kernel_inv(
         src_f = idx_f  # (1,B) argmin index, masked to 0 on miss
         hv = jnp.dot(table, sel, preferred_element_type=jnp.float32)
         face_n = hv[7:10]
+        if has_vn:
+            # Smooth shading normal (inv_path_trace.cu:54,144 use
+            # getNormal at the hit; sampling still rotates around the
+            # face normal, :139).
+            shade_n = geom.smooth_at(point, hv[13:22], hv[22:31], hv[31:32])
+        else:
+            shade_n = face_n
 
         # Indirect edge BEFORE the RR test (inv_path_trace.cu:128 vs
         # :135): factors[DIFFUSE] = 1 (:142), light = 0.
@@ -146,13 +154,19 @@ def _kernel_inv(
                 + r2c * sq * row[6:9]
             )
             to_light = geom.normalize3(emm_point - point)
-            cos_theta = geom.dot3(face_n, to_light)
+            cos_theta = geom.dot3(shade_n, to_light)
             ok = hit_act * (cos_theta >= 0.0).astype(jnp.float32)
-            st_best, s_hit, _s_sel, s_idx_f, _sp = geom.intersect(
+            st_best, s_hit, _s_sel, s_idx_f, s_point = geom.intersect(
                 point, to_light, want_sel=False
             )
             ok = ok * s_hit.astype(jnp.float32)
-            light_n = row[12:15]
+            if has_vn:
+                # t_emm->getNormal at the shadow hit (:61).
+                light_n = geom.smooth_at(
+                    s_point, row[0:9], row[17:26], row[26:27]
+                )
+            else:
+                light_n = row[12:15]
             cos_theta_p = -geom.dot3(light_n, to_light)
             ok = ok * (cos_theta_p >= 0.0).astype(jnp.float32)
             ok = ok * (s_idx_f == row[15:16]).astype(jnp.float32)
@@ -178,7 +192,7 @@ def _kernel_inv(
             [sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=0
         )
         next_dir = geom.normalize3(geom.rotate_z_to(face_n, hemi))
-        cosine = geom.dot3(next_dir, face_n)
+        cosine = geom.dot3(next_dir, shade_n)  # :144 uses getNormal
         w_next = w * cosine * PI / p_rr  # / pdf(=1/pi) / (1 - P_SPEC(=0))
 
         p = jnp.where(cont > 0, point, p)
@@ -220,7 +234,8 @@ def inverse_tile_pallas(
     """Transport-grid accumulation for one ray tile.
 
     Returns the raw (Tpd, N_QUANT*Tp) accumulator; convert with
-    grids_from_acc.  Requires a flat-shaded scene and cfg.p_spec == 0."""
+    grids_from_acc.  Requires cfg.p_spec == 0 (scenes with vertex
+    normals are smooth-shaded in-kernel)."""
     assert cfg.p_spec == 0.0, "pallas inverse kernel requires p_spec == 0"
     n_tri = scene.vertices.shape[0]
     n_e = scene.emissive_idx.shape[0]

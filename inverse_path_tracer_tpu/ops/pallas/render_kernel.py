@@ -104,6 +104,7 @@ class _Geom(NamedTuple):
     dot3: object
     spec_coeff: object
     rotate_z_to: object
+    smooth_at: object
     iota_t: jnp.ndarray
     iota_tf: jnp.ndarray
     ones_row: jnp.ndarray
@@ -181,12 +182,39 @@ def _make_geom(tp, pmat, block, min_dot, epsilon) -> _Geom:
         rotated = jnp.concatenate([rx, ry, rz], axis=0)
         return jnp.where(degenerate, -vec, rotated)
 
+    def cross3(a, b):
+        return jnp.concatenate(
+            [
+                a[1:2] * b[2:3] - a[2:3] * b[1:2],
+                a[2:3] * b[0:1] - a[0:1] * b[2:3],
+                a[0:1] * b[1:2] - a[1:2] * b[0:1],
+            ],
+            axis=0,
+        )
+
+    def smooth_at(point, v9, n9, area):
+        """Barycentric-interpolated shading normal at `point` (reference
+        Triangle::getNormal scene_basics.h:100-109; matches the XLA
+        ops/intersect.py smooth_normal).  v9/n9 are (9, B) packed
+        vertices / vertex normals, area (1, B); padded or miss lanes
+        (all zeros) yield a zero normal, which every consumer masks."""
+        a_safe = jnp.where(area > 0, area, 1.0)
+        acc = jnp.zeros_like(point)
+        vs = (v9[0:3], v9[3:6], v9[6:9])
+        ns = (n9[0:3], n9[3:6], n9[6:9])
+        for i in range(3):
+            c = cross3(vs[(i + 1) % 3] - point, vs[(i + 2) % 3] - point)
+            w = 0.5 * jnp.sqrt(jnp.sum(c * c, axis=0, keepdims=True)) / a_safe
+            acc = acc + w * ns[i]
+        return normalize3(acc)
+
     return _Geom(
         intersect=intersect,
         normalize3=normalize3,
         dot3=dot3,
         spec_coeff=spec_coeff,
         rotate_z_to=rotate_z_to,
+        smooth_at=smooth_at,
         iota_t=iota_t,
         iota_tf=iota_tf,
         ones_row=ones_row,
@@ -206,14 +234,23 @@ def _make_bounce(cfg_static, tp, n_emissive, no_spec, pmat, table, etab, cdf,
     no_spec (static, from scene.specular_idx.shape): every Ks is zero,
     so the Phong terms contribute exactly nothing — drop the pow()
     transcendentals and specular-lobe sampling branches entirely
-    (~25% of the bounce loop on v5e)."""
+    (~25% of the bounce loop on v5e).
+
+    Smooth shading: scenes with vertex normals carry 19 extra table rows
+    (verts 13:22, vertex normals 22:31, area 31:32; emissive table rows
+    17:26 vn, 26:27 area), detected statically from the table shape.
+    The shading normal is then barycentric-interpolated at each hit
+    (Triangle::getNormal), while direction sampling still rotates around
+    the FACE normal (path_trace.cu:134 uses tri->normal)."""
     (max_bounces, p_rr, min_dot, epsilon, quirks) = cfg_static
+    has_vn = table.shape[0] > 13  # static: 32 rows iff vertex normals
     geom = _make_geom(tp, pmat, block, min_dot, epsilon)
     intersect = geom.intersect
     normalize3 = geom.normalize3
     dot3 = geom.dot3
     spec_coeff = geom.spec_coeff
     rotate_z_to = geom.rotate_z_to
+    smooth_at = geom.smooth_at
     iota_tf = geom.iota_tf
 
     def bounce(b, u, carry):
@@ -222,13 +259,16 @@ def _make_bounce(cfg_static, tp, n_emissive, no_spec, pmat, table, etab, cdf,
         act = alive  # (1, B) f32 0/1
         hit_act = act * hit.astype(jnp.float32)
 
-        hv = jnp.dot(table, sel, preferred_element_type=jnp.float32)  # (13, B)
+        hv = jnp.dot(table, sel, preferred_element_type=jnp.float32)  # (13|32, B)
         emission = hv[0:3]
         mat_spec = hv[3:6]
         mat_shin = hv[6:7]
         face_n = hv[7:10]
         kd = hv[10:13]
-        shade_n = face_n  # flat-shaded scenes only (vn case uses XLA path)
+        if has_vn:
+            shade_n = smooth_at(point, hv[13:22], hv[22:31], hv[31:32])
+        else:
+            shade_n = face_n  # flat meshes: getNormal == face normal
 
         first = (b == 0).astype(jnp.float32)
         if quirks:
@@ -259,11 +299,16 @@ def _make_bounce(cfg_static, tp, n_emissive, no_spec, pmat, table, etab, cdf,
             to_light = normalize3(emm_point - point)
             cos_theta = dot3(shade_n, to_light)
             ok = hit_act * (cos_theta >= 0.0).astype(jnp.float32)
-            st_best, s_hit, _s_sel, s_idx_f, _s_point = intersect(
+            st_best, s_hit, _s_sel, s_idx_f, s_point = intersect(
                 point, to_light, want_sel=False
             )
             ok = ok * s_hit.astype(jnp.float32)
-            light_n = row[12:15]
+            if has_vn:
+                # Smooth normal of the chosen light at the shadow hit
+                # (path_trace.cu:61 uses t_emm->getNormal(i.hit)).
+                light_n = smooth_at(s_point, row[0:9], row[17:26], row[26:27])
+            else:
+                light_n = row[12:15]
             cos_theta_p = -dot3(light_n, to_light)
             ok = ok * (cos_theta_p >= 0.0).astype(jnp.float32)
             ok = ok * (s_idx_f == row[15:16]).astype(jnp.float32)
@@ -391,8 +436,8 @@ def _kernel_fwd(
     alive_ref,  # (1, BLOCK) f32 initial alive mask
     u_ref,  # (bounces*8, BLOCK) uniforms, or (3,) SMEM PRNG seed if fused
     pmat_ref,  # (4*Tp, 4) packed plane rows
-    table_ref,  # (13, Tp): emission/spec/shin/face_n/kd rows
-    etab_ref,  # (17, nE): verts(9) emission(3) face_n(3) idx(1) p(1)
+    table_ref,  # (13|32, Tp): emission/spec/shin/face_n/kd (+vn) rows
+    etab_ref,  # (17|27, nE): verts emission face_n idx p (+vn area)
     cdf_ref,  # (nE, 1)
     rad_ref,  # out (3, BLOCK)
     stats_ref,  # out (2, BLOCK): per-lane segment/shadow counts
@@ -522,9 +567,12 @@ def _kernel_bwd(
 def _pack_tables(scene, materials):
     """Padded device tables shared by both kernels.
 
-    Returns (tp, pmat (4*Tp,4), table (13,Tp), etab (17,nE), cdf (nE,1)).
-    Padded triangles have an all-zero plane row, so |b0| < min_dot
-    rejects them in every intersect; padded table columns are zero."""
+    Returns (tp, pmat (4*Tp,4), table (13|32,Tp), etab (17|27,nE),
+    cdf (nE,1)).  Padded triangles have an all-zero plane row, so
+    |b0| < min_dot rejects them in every intersect; padded table columns
+    are zero.  Scenes with vertex normals get 19 extra table rows
+    (verts 13:22, vn 22:31, area 31:32) and 10 extra emissive rows
+    (vn 17:26, area 26:27) for in-kernel smooth shading."""
     n_tri = scene.vertices.shape[0]
     tp = _round_up(max(n_tri, 8), 8)
     planes = scene.plane_mat.reshape(4, n_tri, 4).transpose(2, 1, 0)  # (pl,tri,co)
@@ -532,30 +580,38 @@ def _pack_tables(scene, materials):
     pmat = jnp.concatenate(
         [jnp.concatenate([planes[j], pad], axis=0) for j in range(4)], axis=0
     )  # (4*Tp, 4)
+    has_vn = scene.vertex_normals.shape[1] != 0
+    cols = [
+        scene.emission,
+        scene.specular,
+        scene.shininess[:, None],
+        scene.face_normal,
+        materials,
+    ]
+    if has_vn:
+        cols += [
+            scene.vertices.reshape(n_tri, 9),
+            scene.vertex_normals.reshape(n_tri, 9),
+            scene.area[:, None],
+        ]
+    table = jnp.concatenate(cols, axis=1).T  # (13|32, nT)
     table = jnp.concatenate(
-        [
-            scene.emission,
-            scene.specular,
-            scene.shininess[:, None],
-            scene.face_normal,
-            materials,
-        ],
-        axis=1,
-    ).T  # (13, nT)
-    table = jnp.concatenate(
-        [table, jnp.zeros((13, tp - n_tri), jnp.float32)], axis=1
+        [table, jnp.zeros((table.shape[0], tp - n_tri), jnp.float32)], axis=1
     )
     ev = scene.vertices[scene.emissive_idx].reshape(-1, 9)
-    etab = jnp.concatenate(
-        [
-            ev,
-            scene.emission[scene.emissive_idx],
-            scene.face_normal[scene.emissive_idx],
-            scene.emissive_idx.astype(jnp.float32)[:, None],
-            scene.emissive_p[:, None],
-        ],
-        axis=1,
-    ).T  # (17, nE)
+    ecols = [
+        ev,
+        scene.emission[scene.emissive_idx],
+        scene.face_normal[scene.emissive_idx],
+        scene.emissive_idx.astype(jnp.float32)[:, None],
+        scene.emissive_p[:, None],
+    ]
+    if has_vn:
+        ecols += [
+            scene.vertex_normals[scene.emissive_idx].reshape(-1, 9),
+            scene.area[scene.emissive_idx][:, None],
+        ]
+    etab = jnp.concatenate(ecols, axis=1).T  # (17|27, nE)
     cdf = scene.emissive_cdf[:, None]  # (nE, 1)
     return tp, pmat, table, etab, cdf
 
@@ -589,9 +645,8 @@ def render_tile_pallas(
     """Render one ray tile with the fused kernel.
 
     Returns (radiance (3, tile), stats (2, tile) per-lane seg/shadow
-    counts).  Flat-shaded scenes only (scene.vertex_normals must be the
-    empty static marker); the caller falls back to the XLA path
-    otherwise."""
+    counts).  Scenes with vertex normals are smooth-shaded in-kernel
+    (barycentric getNormal; see _make_bounce)."""
     n_e = scene.emissive_idx.shape[0]
     tile = p.shape[1]
     assert tile % block == 0, (tile, block)

@@ -457,6 +457,21 @@ def _pallas_seed(tkey: jax.Array) -> jnp.ndarray:
     return jnp.concatenate([kd32, jnp.zeros((1,), jnp.int32)])
 
 
+def _pallas_block(scene: SceneData, tile: int) -> int:
+    """Ray-block width for the fused kernels.  4096 lanes measured best
+    on v5e at the reference scene size (Tp=32; 8192 exceeded VMEM).  The
+    dominant VMEM temporaries scale with Tp*block (the packed intersect
+    planes are (4*Tp, 2*block)), so larger scenes shrink the block to
+    hold the working set near the measured Tp*block = 2^17 sweet spot."""
+    tp = max(8, -(-scene.vertices.shape[0] // 8) * 8)
+    budget = max(128, (1 << 17) // tp)
+    block = 128
+    while block * 2 <= min(4096, budget):
+        block *= 2
+    block = min(block, tile)
+    return block if tile % block == 0 else tile
+
+
 def _render_range_pallas_impl(
     materials: jnp.ndarray,
     scene: SceneData,
@@ -469,9 +484,7 @@ def _render_range_pallas_impl(
 
     tile = min(cfg.tile_size, count)
     n_tiles = -(-count // tile)
-    # block=4096 measured best on v5e (177M rays/s at tile 32768);
-    # 8192 exceeds VMEM.
-    block = min(4096, tile)
+    block = _pallas_block(scene, tile)
     interpret = jax.default_backend() != "tpu"
     fused_rng = _pallas_fused_rng(cfg, interpret)
 
@@ -520,7 +533,7 @@ def _grad_range_pallas(
 
     tile = min(cfg.tile_size, count)
     n_tiles = -(-count // tile)
-    block = min(4096, tile)
+    block = _pallas_block(scene, tile)
     interpret = jax.default_backend() != "tpu"
     fused_rng = _pallas_fused_rng(cfg, interpret)
     g_pad = jnp.concatenate(
@@ -626,9 +639,8 @@ def render_range(
 
 def _use_pallas(cfg: RenderConfig, scene: SceneData) -> bool:
     """Backend resolution: "pallas" forces the kernels (interpret mode
-    off-TPU), "auto" uses them on a real TPU only, "xla" never; vertex-
-    normal meshes always take the XLA path (the kernels are flat-shaded)."""
-    if cfg.backend == "xla" or scene.vertex_normals.shape[1] != 0:
+    off-TPU), "auto" uses them on a real TPU only, "xla" never."""
+    if cfg.backend == "xla":
         return False
     if cfg.intersect == "bvh" and len(scene.bvh):
         return False  # the kernels always brute-force; honor the request

@@ -280,7 +280,9 @@ def _trace_transport_range_pallas(
     target_flat = target_image01.reshape(-1, 3)
     tile = min(cfg.tile_size, count)
     n_tiles = -(-count // tile)
-    block = min(4096, tile)
+    from inverse_path_tracer_tpu.render.forward import _pallas_block
+
+    block = _pallas_block(scene, tile)
     interpret = jax.default_backend() != "tpu"
     fused_rng = cfg.rng in ("auto", "fused") and not interpret
 

@@ -76,25 +76,49 @@ def test_pallas_fused_backward_matches_xla_grad(cornell_scene, quirks):
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=2e-4, atol=1e-7)
 
 
-def test_pallas_vertex_normal_scene_falls_back():
-    """Sphere (has vn) silently uses the XLA path under backend=pallas."""
+def _sphere_scene():
+    """Cornell (emissive, flat) + sphere (1280 tris with vertex normals):
+    exercises in-kernel smooth shading, the mixed flat/vn fill, and the
+    block-size scaling for large triangle counts."""
     from inverse_path_tracer_tpu.scene.build import build_scene
     from inverse_path_tracer_tpu.scene.dsl import ObjectParams
 
-    scene = build_scene(
+    return build_scene(
         [
             ObjectParams(
                 pos=(0, 0, 4),
+                scl=(2, 2, 2),
+                obj_file="/root/reference/CornellBox/CornellBox-Empty-CO.obj",
+                mtl_file="/root/reference/CornellBox/CornellBox-Empty-CO.mtl",
+            ),
+            ObjectParams(
+                pos=(0, -1.5, 4),
                 obj_file="/root/reference/shapes/sphere.obj",
                 mtl_file="*Kd 0.5 0.5 0.5*",
-            )
+            ),
         ]
     )
+
+
+def test_pallas_vertex_normal_scene_matches_xla():
+    """Smooth-shaded (vn) scenes run in-kernel and match the XLA oracle
+    (forward radiance and the fused backward gradient)."""
+    scene = _sphere_scene()
+    assert scene.vertex_normals.shape[1] == 3
     key = jax.random.PRNGKey(0)
     cfg = RenderConfig(width=8, height=8, spp=2, max_bounces=3, tile_size=128)
-    a, _ = render_samples(scene.diffuse, scene, key, cfg)
-    b, _ = render_samples(scene.diffuse, scene, key, cfg.with_(backend="pallas"))
-    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    a, sa = render_samples(scene.diffuse, scene, key, cfg)
+    b, sb = render_samples(scene.diffuse, scene, key, cfg.with_(backend="pallas"))
+    assert float(sa.segments) == float(sb.segments)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5)
+
+    def loss(mats, c):
+        vals, _ = render_samples(mats, scene, key, c)
+        return (vals**2).mean()
+
+    g_x = jax.grad(lambda m: loss(m, cfg))(scene.diffuse)
+    g_p = jax.grad(lambda m: loss(m, cfg.with_(backend="pallas")))(scene.diffuse)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=2e-4, atol=1e-7)
 
 def test_pallas_specular_scene_matches_xla(tmp_path):
     """A scene with Ks > 0 exercises the kernels' general (Phong)

@@ -74,6 +74,28 @@ def test_pallas_inverse_compress_matches(cornell_scene):
     np.testing.assert_allclose(np.asarray(l_g), np.asarray(l_r), rtol=1e-4, atol=1e-6)
 
 
+def test_pallas_inverse_vertex_normal_scene_matches_xla():
+    """Smooth-shaded scenes (vn) accumulate identical transport grids:
+    the kernel interpolates getNormal in-VMEM like the XLA oracle."""
+    from tests.test_pallas import _sphere_scene
+
+    scene = _sphere_scene()
+    key = jax.random.PRNGKey(5)
+    cfg = RenderConfig(width=8, height=8, spp=2, max_bounces=3, tile_size=128)
+    ref = _grids(scene, cfg, key)
+    got = _grids(scene, cfg.with_(backend="pallas"), key)
+    np.testing.assert_array_equal(np.asarray(got.count), np.asarray(ref.count))
+    np.testing.assert_allclose(
+        np.asarray(got.w_sum), np.asarray(ref.w_sum), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.pixel_sum[:, 0]),
+        np.asarray(ref.pixel_sum[:, 0]),
+        rtol=1e-4,
+        atol=1e-5,
+    )
+
+
 def test_pallas_inverse_requires_p_spec_zero(cornell_scene):
     """p_spec > 0 silently falls back to the XLA path (same result)."""
     key = jax.random.PRNGKey(3)
