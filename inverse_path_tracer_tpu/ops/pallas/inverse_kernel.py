@@ -113,11 +113,11 @@ def _kernel_inv(
     zero3 = jnp.zeros((3, block), dtype=jnp.float32)
 
     def body(b, state):
-        (p, d, w, dst_f, alive, acc) = state
+        (isect, w, dst_f, alive, acc) = state
         u = draw(b)
-        t_best, hit, sel, idx_f, point = geom.intersect(p, d)
+        t_best, hit, sel, idx_f, point = isect
         act = alive
-        hit_act = act * hit.astype(jnp.float32)
+        hit_act = act * hit  # hit is f32 0/1 (see render_kernel._finish)
         src_f = idx_f  # (1,B) argmin index, masked to 0 on miss
         hv = jnp.dot(table, sel, preferred_element_type=jnp.float32)
         face_n = hv[7:10]
@@ -132,6 +132,21 @@ def _kernel_inv(
         # Indirect edge BEFORE the RR test (inv_path_trace.cu:128 vs
         # :135): factors[DIFFUSE] = 1 (:142), light = 0.
         acc = acc + edge_grid(dst_f, hit_act, sel, w, ones_row, zero3)
+
+        # Diffuse next direction (:134-147; P_SPEC=0 so the path type is
+        # always DIFFUSE, shininess 0, pdf = 1/pi — quirk Q3).  Sampled
+        # before the NEE visibility test so the shadow ray and the next
+        # primary ray share one intersect_pair matmul (render_kernel).
+        cont = hit_act * (u[4:5] < p_rr).astype(jnp.float32)
+        phi = 2.0 * PI * u[5:6]
+        cos_t = jnp.sqrt(u[6:7])
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        hemi = jnp.concatenate(
+            [sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=0
+        )
+        next_dir = geom.normalize3(geom.rotate_z_to(face_n, hemi))
+        cosine = geom.dot3(next_dir, shade_n)  # :144 uses getNormal
+        w_next = w * cosine * PI / p_rr  # / pdf(=1/pi) / (1 - P_SPEC(=0))
 
         # NEE edge (directLighting :16-87): dst = current triangle,
         # src = emissive; factors[DIFFUSE] = 1/pi (:8, :79).
@@ -156,12 +171,13 @@ def _kernel_inv(
             to_light = geom.normalize3(emm_point - point)
             cos_theta = geom.dot3(shade_n, to_light)
             ok = hit_act * (cos_theta >= 0.0).astype(jnp.float32)
-            st_best, s_hit, _s_sel, s_idx_f, s_point = geom.intersect(
-                point, to_light, want_sel=False
+            (st_best, s_hit, s_idx_f), isect_next = geom.intersect_pair(
+                point, to_light, next_dir
             )
-            ok = ok * s_hit.astype(jnp.float32)
+            ok = ok * s_hit
             if has_vn:
                 # t_emm->getNormal at the shadow hit (:61).
+                s_point = point + to_light * jnp.where(s_hit > 0, st_best, 0.0)
                 light_n = geom.smooth_at(
                     s_point, row[0:9], row[17:26], row[26:27]
                 )
@@ -181,29 +197,15 @@ def _kernel_inv(
             acc = acc + edge_grid(
                 src_f, ok, src_oh_e, nee_w, inv_pi_row, row[9:12]
             )
+        else:
+            isect_next = geom.intersect(point, next_dir)
 
-        # RR + diffuse next direction (:134-147; P_SPEC=0 so the path
-        # type is always DIFFUSE, shininess 0, pdf = 1/pi — quirk Q3).
-        cont = hit_act * (u[4:5] < p_rr).astype(jnp.float32)
-        phi = 2.0 * PI * u[5:6]
-        cos_t = jnp.sqrt(u[6:7])
-        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
-        hemi = jnp.concatenate(
-            [sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=0
-        )
-        next_dir = geom.normalize3(geom.rotate_z_to(face_n, hemi))
-        cosine = geom.dot3(next_dir, shade_n)  # :144 uses getNormal
-        w_next = w * cosine * PI / p_rr  # / pdf(=1/pi) / (1 - P_SPEC(=0))
-
-        p = jnp.where(cont > 0, point, p)
-        d = jnp.where(cont > 0, next_dir, d)
         w = jnp.where(cont > 0, w_next, w)
         dst_f = jnp.where(cont > 0, src_f, dst_f)
-        return (p, d, w, dst_f, cont, acc)
+        return (isect_next, w, dst_f, cont, acc)
 
     state = (
-        p_ref[:],
-        d_ref[:],
+        geom.intersect(p_ref[:], d_ref[:]),
         jnp.ones((1, block), jnp.float32),
         jnp.full((1, block), float(n_tri), jnp.float32),  # eye node = nT
         alive_ref[:],

@@ -100,6 +100,7 @@ class _Geom(NamedTuple):
     """Shared in-kernel geometry helpers (closures over pmat/block)."""
 
     intersect: object
+    intersect_pair: object
     normalize3: object
     dot3: object
     spec_coeff: object
@@ -117,21 +118,10 @@ def _make_geom(tp, pmat, block, min_dot, epsilon) -> _Geom:
     iota_t = jax.lax.broadcasted_iota(jnp.int32, (tp, block), 0)
     iota_tf = iota_t.astype(jnp.float32)
 
-    def intersect(p, d, want_sel=True):
-        """-> (t_best (1,B), hit (1,B) bool, sel (Tp,B) f32 or None,
-               idx_f (1,B) f32 hit index masked to 0 on miss, point (3,B)).
-
-        One packed matmul: rows [j*Tp:(j+1)*Tp] of pmat are plane j
-        (j=0 the face plane, j=1..3 the edge planes), rhs columns
-        [:B] homogeneous origins, [B:] homogeneous directions.
-        want_sel=False (NEE shadow rays — only the hit *identity* is
-        checked, inv_path_trace.cu:81) skips the (Tp,B) one-hot."""
-        p4 = jnp.concatenate([p, ones_row], axis=0)  # (4, B)
-        d4 = jnp.concatenate([d, zeros_row], axis=0)
-        pd4 = jnp.concatenate([p4, d4], axis=1)  # (4, 2B)
-        ab = jnp.dot(pmat, pd4, preferred_element_type=jnp.float32)  # (4Tp, 2B)
-        a = ab[:, :block]
-        bb = ab[:, block:]
+    def _finish(a, bb, p, d, want_sel):
+        """Closest-hit resolution from the projected plane values:
+        a = origin·planes (4Tp rows: face plane then 3 edge planes),
+        bb = direction·planes."""
         a0 = a[0:tp]
         b0 = bb[0:tp]
         t = a0 / (-b0)
@@ -147,7 +137,45 @@ def _make_geom(tp, pmat, block, min_dot, epsilon) -> _Geom:
         sel = ((iota_t == idx) & hit).astype(jnp.float32) if want_sel else None
         t_safe = jnp.where(hit, t_best, 0.0)
         point = p + d * t_safe
-        return t_best, hit, sel, idx_f, point
+        # hit as f32 0/1: the tuple is carried across the bounce loop
+        # and Mosaic cannot legalize boolean vectors in loop carries.
+        return t_best, hit.astype(jnp.float32), sel, idx_f, point
+
+    def intersect(p, d, want_sel=True):
+        """-> (t_best (1,B), hit (1,B) f32 0/1, sel (Tp,B) f32 or None,
+               idx_f (1,B) f32 hit index masked to 0 on miss, point (3,B)).
+
+        One packed matmul: rows [j*Tp:(j+1)*Tp] of pmat are plane j
+        (j=0 the face plane, j=1..3 the edge planes), rhs columns
+        [:B] homogeneous origins, [B:] homogeneous directions.
+        want_sel=False (NEE shadow rays — only the hit *identity* is
+        checked, inv_path_trace.cu:81) skips the (Tp,B) one-hot."""
+        p4 = jnp.concatenate([p, ones_row], axis=0)  # (4, B)
+        d4 = jnp.concatenate([d, zeros_row], axis=0)
+        pd4 = jnp.concatenate([p4, d4], axis=1)  # (4, 2B)
+        ab = jnp.dot(pmat, pd4, preferred_element_type=jnp.float32)  # (4Tp, 2B)
+        return _finish(ab[:, :block], ab[:, block:], p, d, want_sel)
+
+    def intersect_pair(p, d1, d2):
+        """Shared-origin double intersect: the NEE shadow ray and the
+        NEXT bounce's primary ray both start at the current hit point,
+        so one (4Tp, 4) x (4, 3B) matmul projects the origin once and
+        both directions together — 3B rhs columns per bounce instead of
+        the 4B of two separate intersects.
+
+        Returns (shadow := (t, hit, idx_f), next := full intersect
+        tuple with selection)."""
+        p4 = jnp.concatenate([p, ones_row], axis=0)  # (4, B)
+        d14 = jnp.concatenate([d1, zeros_row], axis=0)
+        d24 = jnp.concatenate([d2, zeros_row], axis=0)
+        pdd = jnp.concatenate([p4, d14, d24], axis=1)  # (4, 3B)
+        ab = jnp.dot(pmat, pdd, preferred_element_type=jnp.float32)
+        a = ab[:, :block]
+        t1, hit1, _s1, idx1_f, _p1 = _finish(
+            a, ab[:, block : 2 * block], p, d1, False
+        )
+        nxt = _finish(a, ab[:, 2 * block :], p, d2, True)
+        return (t1, hit1, idx1_f), nxt
 
     def normalize3(v):
         n = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
@@ -210,6 +238,7 @@ def _make_geom(tp, pmat, block, min_dot, epsilon) -> _Geom:
 
     return _Geom(
         intersect=intersect,
+        intersect_pair=intersect_pair,
         normalize3=normalize3,
         dot3=dot3,
         spec_coeff=spec_coeff,
@@ -226,10 +255,15 @@ def _make_bounce(cfg_static, tp, n_emissive, no_spec, pmat, table, etab, cdf,
                  block):
     """Build the shared per-bounce forward step.
 
-    Returns bounce(b, u, carry) -> (new_carry, _BounceOut) with
-    carry = (p, d, l_e, l_d, prev_mult, alive), every entry (k, B).
-    Replicates the reference radiance step path_trace.cu:111-144 plus
-    the loop body :175-181 (quirks documented in render/forward.py).
+    Returns (bounce, init_carry): bounce(b, u, carry) -> (new_carry,
+    _BounceOut) with carry = (d, isect, l_e, l_d, prev_mult, alive),
+    isect the current ray's intersect tuple — each bounce CONSUMES the
+    carried intersection and PRODUCES the next one fused with its NEE
+    shadow ray (intersect_pair: both start at the hit point), saving a
+    quarter of the per-bounce intersect matmul columns.  init_carry(p,
+    d, alive) runs the bounce-0 intersect.  Replicates the reference
+    radiance step path_trace.cu:111-144 plus the loop body :175-181
+    (quirks documented in render/forward.py).
 
     no_spec (static, from scene.specular_idx.shape): every Ks is zero,
     so the Phong terms contribute exactly nothing — drop the pow()
@@ -246,6 +280,7 @@ def _make_bounce(cfg_static, tp, n_emissive, no_spec, pmat, table, etab, cdf,
     has_vn = table.shape[0] > 13  # static: 32 rows iff vertex normals
     geom = _make_geom(tp, pmat, block, min_dot, epsilon)
     intersect = geom.intersect
+    intersect_pair = geom.intersect_pair
     normalize3 = geom.normalize3
     dot3 = geom.dot3
     spec_coeff = geom.spec_coeff
@@ -253,11 +288,17 @@ def _make_bounce(cfg_static, tp, n_emissive, no_spec, pmat, table, etab, cdf,
     smooth_at = geom.smooth_at
     iota_tf = geom.iota_tf
 
+    def init_carry(p, d, alive):
+        """Initial loop carry: the bounce-0 intersect runs once here;
+        every later intersect rides the fused shadow/next matmul."""
+        zero3 = jnp.zeros((3, block), dtype=jnp.float32)
+        return (d, intersect(p, d), zero3, zero3, zero3 + 1.0, alive)
+
     def bounce(b, u, carry):
-        (p, d, l_e, l_d, prev_mult, alive) = carry
-        t_best, hit, sel, idx_f, point = intersect(p, d)
+        (d, isect, l_e, l_d, prev_mult, alive) = carry
+        t_best, hit, sel, idx_f, point = isect
         act = alive  # (1, B) f32 0/1
-        hit_act = act * hit.astype(jnp.float32)
+        hit_act = act * hit
 
         hv = jnp.dot(table, sel, preferred_element_type=jnp.float32)  # (13|32, B)
         emission = hv[0:3]
@@ -278,7 +319,33 @@ def _make_bounce(cfg_static, tp, n_emissive, no_spec, pmat, table, etab, cdf,
             l_e = jnp.where((hit_act * first) > 0, emission, 0.0)
             l_e_contrib = l_e
 
-        # --- NEE (path_trace.cu:30-89) ---
+        # --- RR + next direction (path_trace.cu:130-140) ---
+        # Sampled before the NEE visibility test so the shadow ray and
+        # the next bounce's primary ray (both originating at `point`)
+        # share one intersect_pair matmul.  Uniform CONSUMPTION order is
+        # unchanged: all 8 rows of this bounce are drawn as one batch.
+        cont = hit_act * (u[3:4] < p_rr).astype(jnp.float32)
+        phi = 2.0 * PI * u[4:5]
+        if no_spec:
+            # Diffuse-only: cosine sampling, pdf = 1/pi (quirk Q3).
+            cos_t = jnp.sqrt(u[5:6])
+        else:
+            is_spec = (
+                jnp.max(
+                    (mat_spec != 0.0).astype(jnp.float32), axis=0, keepdims=True
+                )
+                * (mat_shin != 0.0).astype(jnp.float32)
+            )
+            exponent = jnp.where(is_spec > 0, 1.0 / (mat_shin + 1.0), 0.5)
+            cos_t = u[5:6] ** exponent
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        hemi = jnp.concatenate(
+            [sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=0
+        )
+        next_dir = normalize3(rotate_z_to(face_n, hemi))
+        cosine = dot3(next_dir, shade_n)
+
+        # --- NEE (path_trace.cu:30-89) + fused next intersect ---
         if n_emissive > 0:
             u_pick = u[0:1]
             m = (cdf >= u_pick).astype(jnp.float32)  # (nE, B)
@@ -299,13 +366,14 @@ def _make_bounce(cfg_static, tp, n_emissive, no_spec, pmat, table, etab, cdf,
             to_light = normalize3(emm_point - point)
             cos_theta = dot3(shade_n, to_light)
             ok = hit_act * (cos_theta >= 0.0).astype(jnp.float32)
-            st_best, s_hit, _s_sel, s_idx_f, s_point = intersect(
-                point, to_light, want_sel=False
+            (st_best, s_hit, s_idx_f), isect_next = intersect_pair(
+                point, to_light, next_dir
             )
-            ok = ok * s_hit.astype(jnp.float32)
+            ok = ok * s_hit
             if has_vn:
                 # Smooth normal of the chosen light at the shadow hit
                 # (path_trace.cu:61 uses t_emm->getNormal(i.hit)).
+                s_point = point + to_light * jnp.where(s_hit > 0, st_best, 0.0)
                 light_n = smooth_at(s_point, row[0:9], row[17:26], row[26:27])
             else:
                 light_n = row[12:15]
@@ -327,6 +395,7 @@ def _make_bounce(cfg_static, tp, n_emissive, no_spec, pmat, table, etab, cdf,
             l_d_fresh = jnp.where(ok > 0, bsdf_direct * (row[9:12] * geom), 0.0)
             shadow_inc = hit_act
         else:
+            isect_next = intersect(point, next_dir)
             nee_term = jnp.zeros_like(l_d)
             l_d_fresh = jnp.zeros_like(l_d)
             shadow_inc = jnp.zeros_like(act)
@@ -340,27 +409,6 @@ def _make_bounce(cfg_static, tp, n_emissive, no_spec, pmat, table, etab, cdf,
             l_d_contrib = jnp.where(hit_act > 0, l_d_fresh, 0.0)
         c = jnp.where(contrib_mask > 0, l_e_contrib + l_d_contrib, 0.0)
 
-        # --- RR + next direction (path_trace.cu:130-140) ---
-        cont = hit_act * (u[3:4] < p_rr).astype(jnp.float32)
-        phi = 2.0 * PI * u[4:5]
-        if no_spec:
-            # Diffuse-only: cosine sampling, pdf = 1/pi (quirk Q3).
-            cos_t = jnp.sqrt(u[5:6])
-        else:
-            is_spec = (
-                jnp.max(
-                    (mat_spec != 0.0).astype(jnp.float32), axis=0, keepdims=True
-                )
-                * (mat_shin != 0.0).astype(jnp.float32)
-            )
-            exponent = jnp.where(is_spec > 0, 1.0 / (mat_shin + 1.0), 0.5)
-            cos_t = u[5:6] ** exponent
-        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
-        hemi = jnp.concatenate(
-            [sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=0
-        )
-        next_dir = normalize3(rotate_z_to(face_n, hemi))
-        cosine = dot3(next_dir, shade_n)
         if no_spec:
             bsdf = kd / PI
             coeff = cosine * PI / p_rr  # cosine / pdf(=1/pi) / p_rr
@@ -386,13 +434,16 @@ def _make_bounce(cfg_static, tp, n_emissive, no_spec, pmat, table, etab, cdf,
             coeff=coeff,
             tri_f=tri_f,
             hit=hit_act,
-            esc=act * (1.0 - hit.astype(jnp.float32)),
+            esc=act * (1.0 - hit),
             seg=act,
             shadow=shadow_inc,
         )
+        # Dead lanes carry the (masked-everywhere) junk next intersect
+        # instead of re-intersecting a stale ray: every consumer gates
+        # on `alive`, so the values never surface.
         new_carry = (
-            jnp.where(cont > 0, point, p),
             jnp.where(cont > 0, next_dir, d),
+            isect_next,
             l_e,
             l_d,
             jnp.where(cont > 0, prev_mult * f, prev_mult),
@@ -400,7 +451,7 @@ def _make_bounce(cfg_static, tp, n_emissive, no_spec, pmat, table, etab, cdf,
         )
         return new_carry, out
 
-    return bounce
+    return bounce, init_carry
 
 
 def _unit_from_bits(bits) -> jnp.ndarray:
@@ -443,7 +494,7 @@ def _kernel_fwd(
     stats_ref,  # out (2, BLOCK): per-lane segment/shadow counts
 ):
     block = p_ref.shape[1]
-    bounce = _make_bounce(
+    bounce, init_carry = _make_bounce(
         cfg_static, tp, n_emissive, no_spec,
         pmat_ref[:], table_ref[:], etab_ref[:], cdf_ref[:], block,
     )
@@ -463,7 +514,7 @@ def _kernel_fwd(
 
     zero3 = jnp.zeros((3, block), dtype=jnp.float32)
     zero1 = jnp.zeros((1, block), dtype=jnp.float32)
-    carry0 = (p_ref[:], d_ref[:], zero3, zero3, zero3 + 1.0, alive_ref[:])
+    carry0 = init_carry(p_ref[:], d_ref[:], alive_ref[:])
     state = jax.lax.fori_loop(
         0, max_bounces, body, (carry0, zero3, zero1, zero1)
     )
@@ -492,7 +543,7 @@ def _kernel_bwd(
     rec_ref,  # scratch (bounces*REC_ROWS, BLOCK)
 ):
     block = p_ref.shape[1]
-    bounce = _make_bounce(
+    bounce, init_carry = _make_bounce(
         cfg_static, tp, n_emissive, no_spec,
         pmat_ref[:], table_ref[:], etab_ref[:], cdf_ref[:], block,
     )
@@ -514,8 +565,7 @@ def _kernel_bwd(
         rec_ref[pl.ds(b * REC_ROWS, REC_ROWS), :] = rec
         return carry
 
-    zero3 = jnp.zeros((3, block), dtype=jnp.float32)
-    carry0 = (p_ref[:], d_ref[:], zero3, zero3, zero3 + 1.0, alive_ref[:])
+    carry0 = init_carry(p_ref[:], d_ref[:], alive_ref[:])
     jax.lax.fori_loop(0, max_bounces, fwd_body, carry0)
 
     # Pass 2: reverse suffix recursion (render/diff.py steps 2-4), all in

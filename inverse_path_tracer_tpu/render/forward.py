@@ -457,16 +457,20 @@ def _pallas_seed(tkey: jax.Array) -> jnp.ndarray:
     return jnp.concatenate([kd32, jnp.zeros((1,), jnp.int32)])
 
 
-def _pallas_block(scene: SceneData, tile: int) -> int:
-    """Ray-block width for the fused kernels.  4096 lanes measured best
-    on v5e at the reference scene size (Tp=32; 8192 exceeded VMEM).  The
-    dominant VMEM temporaries scale with Tp*block (the packed intersect
-    planes are (4*Tp, 2*block)), so larger scenes shrink the block to
-    hold the working set near the measured Tp*block = 2^17 sweet spot."""
+def _pallas_block(scene: SceneData, tile: int, records: bool = False) -> int:
+    """Ray-block width for the fused kernels.  The dominant VMEM
+    temporaries scale with Tp*block (the packed intersect planes are
+    (4*Tp, 2*block)), so larger scenes shrink the block to hold the
+    working set near the measured sweet spot: Tp*block = 2^18 for the
+    forward/inverse kernels (block 8192 at the reference Tp=32 — 25.3
+    vs 27.9 ms/tile at 4096 on v5e), and 2^17 for the backward kernel,
+    whose (bounces*REC_ROWS, block) records scratch exceeds VMEM at
+    8192."""
     tp = max(8, -(-scene.vertices.shape[0] // 8) * 8)
-    budget = max(128, (1 << 17) // tp)
+    cap = 1 << (17 if records else 18)
+    budget = max(128, cap // tp)
     block = 128
-    while block * 2 <= min(4096, budget):
+    while block * 2 <= min(cap >> 5, budget):
         block *= 2
     block = min(block, tile)
     return block if tile % block == 0 else tile
@@ -533,7 +537,7 @@ def _grad_range_pallas(
 
     tile = min(cfg.tile_size, count)
     n_tiles = -(-count // tile)
-    block = _pallas_block(scene, tile)
+    block = _pallas_block(scene, tile, records=True)
     interpret = jax.default_backend() != "tpu"
     fused_rng = _pallas_fused_rng(cfg, interpret)
     g_pad = jnp.concatenate(
