@@ -732,6 +732,13 @@ def render_tile_pallas(
             jax.ShapeDtypeStruct((3, tile), jnp.float32),
             jax.ShapeDtypeStruct((2, tile), jnp.float32),
         ],
+        # Ray blocks are independent (per-block output slices, per-block
+        # PRNG streams) — let Mosaic schedule them in any order.  The
+        # backward/inverse kernels accumulate across the grid and must
+        # stay sequential.
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ) if not interpret else None,
         interpret=interpret,
     )(p, d, alive, u_arg, pmat, table, etab, cdf)
     return rad, stats
