@@ -26,12 +26,17 @@ from inverse_path_tracer_tpu.scene.build import SceneData, load_scene
 from inverse_path_tracer_tpu.scene.dsl import generate_scene_files, standard_scene_string
 
 
-def load_image01(path: str) -> jnp.ndarray:
+def load_image01(path: str, size=None) -> jnp.ndarray:
     """PNG -> (H, W, 3) float in [0, 1] (the reference reads the rendered
-    PNG back with stbi_load and divides by 255, inv_scene.h:56, 74-77)."""
+    PNG back with stbi_load and divides by 255, inv_scene.h:56, 74-77).
+    `size` (w, h) optionally box-downsamples, e.g. to match a recovery
+    config's resolution."""
     from PIL import Image
 
-    img = np.asarray(Image.open(path).convert("RGB"), dtype=np.float32) / 255.0
+    img = Image.open(path).convert("RGB")
+    if size is not None and img.size != tuple(size):
+        img = img.resize(tuple(size), Image.BOX)
+    img = np.asarray(img, dtype=np.float32) / 255.0
     return jnp.asarray(img)
 
 
@@ -61,6 +66,17 @@ def generate_files(
         )
 
 
+_EXTRACT_JIT = None
+
+
+def _extract_graph_jit():
+    """Module-cached jit of extract_graph (one trace for all scenes)."""
+    global _EXTRACT_JIT
+    if _EXTRACT_JIT is None:
+        _EXTRACT_JIT = jax.jit(extract_graph, static_argnums=(3,))
+    return _EXTRACT_JIT
+
+
 def generate_data(
     scenefile: str,
     imgfile: str,
@@ -77,9 +93,7 @@ def generate_data(
         f"image {target.shape} != config {(cfg.height, cfg.width, 3)}"
     )
     key = jax.random.PRNGKey(0) if key is None else key
-    w, pixel, light = jax.jit(extract_graph, static_argnums=(3,))(
-        scene, target, key, cfg
-    )
+    w, pixel, light = _extract_graph_jit()(scene, target, key, cfg)
     pixel = np.asarray(pixel)
     assert not np.isnan(pixel).any()  # the reference's one sanity check
     return np.asarray(w), pixel, np.asarray(light), np.asarray(scene.diffuse)

@@ -683,6 +683,12 @@ def render_image(
     return tonemap_mean(samples, cfg.spp).reshape(cfg.height, cfg.width, 3)
 
 
+# Module-level jit so repeated calls (e.g. the 100-scene dataset
+# generator) share one trace/compile cache instead of re-wrapping —
+# a fresh jax.jit per call retraces every time (~20s/scene on axon).
+render_image_jit = jax.jit(render_image, static_argnums=(3,))
+
+
 def render_to_png(
     materials: jnp.ndarray,
     scene: SceneData,
@@ -695,7 +701,7 @@ def render_to_png(
     from PIL import Image
     import numpy as np
 
-    img = jax.jit(render_image, static_argnums=(3,))(materials, scene, key, cfg)
+    img = render_image_jit(materials, scene, key, cfg)
     img8 = np.asarray(tonemap_to_uint8(img))
     Image.fromarray(img8, mode="RGB").save(path)
     return img8

@@ -1,0 +1,217 @@
+"""End-to-end reproduction of the reference experiment at full scale.
+
+Runs the complete inverse-rendering pipeline (reference ipt.py main,
+ipt_cuda.py generate_files/generate_data) on TPU, at the reference's
+native workload — 100 scenes, 500x500, 100 spp — plus the
+TPU-idiomatic direct gradient recovery the reference lacks:
+
+  1. generate  : 100 random-Kd scene files + forward renders
+                 (ipt_cuda.generate_files, ipt_cuda.py:115-134)
+  2. dataset   : transport-graph extraction for all 100 scenes
+                 (ipt_cuda.generate_data / torch.save(data), ipt.py:90-98)
+  3. train-gcn : GCN albedo regression on ALL 100 graphs (the reference
+                 trains on scene [0] only, ipt.py:100)
+  4. evaluate  : preds/i_true.png vs preds/i_pred.png + PSNR
+                 (ipt.py:127-140)
+  5. recover   : batched direct gradient recovery (BASELINE config #4)
+
+Usage:
+    python scripts/full_pipeline.py --workdir runs/demo100 \
+        [--n 100] [--phases generate,dataset,train,evaluate,recover]
+
+Writes <workdir>/metrics.json with per-phase wall time and quality
+metrics.  Single-process so jit caches are shared across phases.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF = "/root/reference"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="runs/demo100")
+    ap.add_argument("--n", type=int, default=100)
+    ap.add_argument("--width", type=int, default=500)
+    ap.add_argument("--height", type=int, default=500)
+    ap.add_argument("--spp", type=int, default=100)
+    ap.add_argument("--bounces", type=int, default=16)
+    ap.add_argument("--gcn-epochs", type=int, default=100_000)
+    ap.add_argument("--recover-n", type=int, default=16)
+    ap.add_argument("--recover-steps", type=int, default=200)
+    ap.add_argument("--eval-scenes", type=int, default=4)
+    ap.add_argument(
+        "--phases", default="generate,dataset,train,evaluate,recover"
+    )
+    args = ap.parse_args()
+    phases = set(args.phases.split(","))
+
+    os.makedirs(args.workdir, exist_ok=True)
+    scenes_dir = os.path.join(args.workdir, "scenes")
+    imgs_dir = os.path.join(args.workdir, "imgs")
+    data_npz = os.path.join(args.workdir, "data.npz")
+    gcn_npz = os.path.join(args.workdir, "gcn_params.npz")
+    preds_dir = os.path.join(args.workdir, "preds")
+    metrics_path = os.path.join(args.workdir, "metrics.json")
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from inverse_path_tracer_tpu.config import RenderConfig
+
+    cfg = RenderConfig(
+        width=args.width,
+        height=args.height,
+        spp=args.spp,
+        max_bounces=args.bounces,
+        tile_size=1 << 16,
+    )
+    metrics = {}
+    if os.path.exists(metrics_path):
+        with open(metrics_path) as f:
+            metrics = json.load(f)
+    metrics["config"] = {
+        "n": args.n, "width": args.width, "height": args.height,
+        "spp": args.spp, "bounces": args.bounces,
+        "devices": [str(d) for d in jax.devices()],
+    }
+
+    def done(phase, t0, **kv):
+        dt = time.time() - t0
+        metrics[phase] = {"wall_s": round(dt, 2), **kv}
+        with open(metrics_path, "w") as f:
+            json.dump(metrics, f, indent=1)
+        print(f"[{phase}] {dt:.1f}s {kv}", flush=True)
+
+    if "generate" in phases:
+        from inverse_path_tracer_tpu.data.pipeline import generate_files
+
+        t0 = time.time()
+        generate_files(
+            args.n, cfg, scenes_dir=scenes_dir, imgs_dir=imgs_dir,
+            asset_root=REF, seed=0,
+        )
+        done("generate", t0, scenes=args.n,
+             samples_per_render=cfg.n_samples)
+
+    if "dataset" in phases:
+        from inverse_path_tracer_tpu.data.pipeline import generate_data
+
+        t0 = time.time()
+        ws, pixels, lights, labels = [], [], [], []
+        for i in range(args.n):
+            w, pixel, light, lbl = generate_data(
+                os.path.join(scenes_dir, f"{i}.txt"),
+                os.path.join(imgs_dir, f"{i}.png"),
+                cfg, asset_root=REF,
+            )
+            assert not np.isnan(pixel).any()  # ipt_cuda.py:162
+            ws.append(w); pixels.append(pixel)
+            lights.append(light); labels.append(lbl)
+        np.savez(data_npz, w=np.stack(ws), pixel=np.stack(pixels),
+                 light=np.stack(lights), labels=np.stack(labels))
+        done("dataset", t0, scenes=args.n, out=data_npz)
+
+    if "train" in phases:
+        from inverse_path_tracer_tpu.models.gcn import (
+            build_dense_graph, gcn_forward, train_gcn,
+        )
+        from inverse_path_tracer_tpu.utils.checkpoint import save_checkpoint
+
+        t0 = time.time()
+        with np.load(data_npz) as d:
+            graphs = [
+                build_dense_graph(jnp.asarray(d["w"][i]), jnp.asarray(d["pixel"][i]))
+                for i in range(args.n)
+            ]
+            y = jnp.asarray(d["labels"])
+        adj = jnp.stack([g[0] for g in graphs])
+        x = jnp.stack([g[1] for g in graphs])
+        params, loss = train_gcn(
+            jax.random.PRNGKey(0), adj, x, y,
+            epochs=args.gcn_epochs, lr=1e-4, log_every=10_000,
+            log_fn=lambda s, l: print(f"  gcn step {s}: L1 {l:.5f}", flush=True),
+        )
+        save_checkpoint(gcn_npz, params, step=args.gcn_epochs, final_loss=loss)
+        # Held-in fit quality: mean |pred - true Kd| across all scenes.
+        preds = jax.vmap(lambda a, f: gcn_forward(params, a, f))(adj, x)
+        kd_err = float(jnp.abs(preds - y).mean())
+        done("train", t0, epochs=args.gcn_epochs, scenes=args.n,
+             final_l1=round(float(loss), 5), mean_kd_err=round(kd_err, 5))
+
+    if "evaluate" in phases:
+        import shutil
+        from PIL import Image
+        from inverse_path_tracer_tpu.data.pipeline import render_with_materials
+        from inverse_path_tracer_tpu.models.gcn import (
+            build_dense_graph, gcn_forward, init_gcn,
+        )
+        from inverse_path_tracer_tpu.utils.checkpoint import load_checkpoint
+        from inverse_path_tracer_tpu.utils.metrics import psnr
+
+        t0 = time.time()
+        params, _ = load_checkpoint(gcn_npz, init_gcn(jax.random.PRNGKey(0)))
+        os.makedirs(preds_dir, exist_ok=True)
+        psnrs = []
+        with np.load(data_npz) as d:
+            for i in range(args.eval_scenes):
+                adj, feats = build_dense_graph(
+                    jnp.asarray(d["w"][i]), jnp.asarray(d["pixel"][i])
+                )
+                preds = gcn_forward(params, adj, feats)
+                true_png = os.path.join(imgs_dir, f"{i}.png")
+                pred_png = os.path.join(preds_dir, f"{i}_pred.png")
+                shutil.copy(true_png, os.path.join(preds_dir, f"{i}_true.png"))
+                render_with_materials(
+                    os.path.join(scenes_dir, f"{i}.txt"), pred_png,
+                    preds, cfg, asset_root=REF,
+                )
+                a = np.asarray(Image.open(true_png).convert("RGB"), np.float32) / 255
+                b = np.asarray(Image.open(pred_png).convert("RGB"), np.float32) / 255
+                psnrs.append(float(psnr(a, b)))
+        done("evaluate", t0, scenes=args.eval_scenes,
+             psnr_true_vs_pred=[round(p, 2) for p in psnrs])
+
+    if "recover" in phases:
+        from inverse_path_tracer_tpu.data.pipeline import load_image01
+        from inverse_path_tracer_tpu.models.recover import recover_materials_batched
+        from inverse_path_tracer_tpu.scene.build import load_scene
+
+        t0 = time.time()
+        rcfg = cfg.with_(width=256, height=256, spp=64)
+        scene = load_scene(os.path.join(scenes_dir, "0.txt"), asset_root=REF)
+        targets = jnp.stack([
+            # Box-downsample the stored 500x500 renders to the recovery
+            # resolution.
+            load_image01(os.path.join(imgs_dir, f"{i}.png"), (256, 256))
+            for i in range(args.recover_n)
+        ])
+        labels = np.stack([
+            np.asarray(load_scene(
+                os.path.join(scenes_dir, f"{i}.txt"), asset_root=REF
+            ).diffuse)
+            for i in range(args.recover_n)
+        ])
+        mats, losses = recover_materials_batched(
+            scene, targets, rcfg, steps=args.recover_steps, lr=5e-2,
+            key=jax.random.PRNGKey(0),
+        )
+        err = np.abs(np.asarray(mats) - labels).mean()
+        done("recover", t0, scenes=args.recover_n,
+             steps=args.recover_steps, mean_kd_err=round(float(err), 5),
+             final_loss=round(float(losses[-1]), 6))
+
+    print(json.dumps(metrics, indent=1))
+
+
+if __name__ == "__main__":
+    main()
