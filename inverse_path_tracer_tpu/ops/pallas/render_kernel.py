@@ -492,6 +492,7 @@ def _kernel_fwd(
     cdf_ref,  # (nE, 1)
     rad_ref,  # out (3, BLOCK)
     stats_ref,  # out (2, BLOCK): per-lane segment/shadow counts
+    rec_ref=None,  # optional out (bounces*REC_ROWS, BLOCK): HBM records
 ):
     block = p_ref.shape[1]
     bounce, init_carry = _make_bounce(
@@ -505,6 +506,16 @@ def _kernel_fwd(
         carry, radiance, segs, shadows = state
         u = draw(b)  # (8, B)
         carry, out = bounce(b, u, carry)
+        if rec_ref is not None:
+            # Records variant (render_tile_pallas_rec): stream the
+            # per-bounce suffix-recursion inputs to HBM so the backward
+            # pass (_kernel_reverse) never replays the bounce loop.
+            rec = jnp.concatenate(
+                [out.f, out.c, out.nee, out.pm_in, out.coeff, out.tri_f,
+                 out.hit, out.esc],
+                axis=0,
+            )
+            rec_ref[pl.ds(b * REC_ROWS, REC_ROWS), :] = rec
         return (
             carry,
             radiance + out.contrib,
@@ -548,9 +559,6 @@ def _kernel_bwd(
         pmat_ref[:], table_ref[:], etab_ref[:], cdf_ref[:], block,
     )
     (max_bounces, _p_rr, _min_dot, _eps, quirks) = cfg_static
-    iota_tf = jax.lax.broadcasted_iota(jnp.int32, (tp, block), 0).astype(
-        jnp.float32
-    )
     draw = _make_uniform_stream(fused_rng, u_ref, block)
 
     # Pass 1: forward replay, records to VMEM scratch (never HBM).
@@ -569,9 +577,25 @@ def _kernel_bwd(
     jax.lax.fori_loop(0, max_bounces, fwd_body, carry0)
 
     # Pass 2: reverse suffix recursion (render/diff.py steps 2-4), all in
-    # VMEM.  suffix_k is the value BEFORE incorporating bounce k; the
-    # escape flag of bounce k+1 arrives via the esc_next carry.
-    g = g_ref[:]
+    # VMEM.
+    dmats = _suffix_recursion(rec_ref, g_ref[:], max_bounces, quirks, tp, block)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dmats_ref[:] = jnp.zeros_like(dmats_ref)
+
+    dmats_ref[:] += dmats
+
+
+def _suffix_recursion(rec_ref, g, max_bounces, quirks, tp, block):
+    """Reverse suffix recursion over per-bounce records (render/diff.py
+    steps 2-4).  suffix_k is the value BEFORE incorporating bounce k;
+    the escape flag of bounce k+1 arrives via the esc_next carry.
+    rec_ref may be a VMEM scratch (replay mode, _kernel_bwd) or a
+    streamed HBM input (_kernel_reverse).  Returns dmats (3, tp)."""
+    iota_tf = jax.lax.broadcasted_iota(jnp.int32, (tp, block), 0).astype(
+        jnp.float32
+    )
 
     def rev_body(j, st):
         suf, esc_next, dmats = st
@@ -606,6 +630,25 @@ def _kernel_bwd(
         jnp.zeros((3, tp), jnp.float32),
     )
     (_suf, _esc, dmats) = jax.lax.fori_loop(0, max_bounces, rev_body, init)
+    return dmats
+
+
+def _kernel_reverse(
+    max_bounces,
+    quirks,
+    tp,
+    # refs:
+    g_ref,  # (3, BLOCK) per-lane radiance cotangent
+    rec_ref,  # (bounces*REC_ROWS, BLOCK) records streamed from HBM
+    dmats_ref,  # out (3, Tp) material cotangent, accumulated across grid
+):
+    """Reverse-only backward: consumes records the PRIMAL forward kernel
+    already wrote (render_tile_pallas_rec), so the bounce-loop replay of
+    _kernel_bwd — a full second forward pass — disappears from the
+    fwd+bwd critical path.  Used by the fused value-and-grad pipeline
+    (render/forward.py loss_and_grad_range)."""
+    block = g_ref.shape[1]
+    dmats = _suffix_recursion(rec_ref, g_ref[:], max_bounces, quirks, tp, block)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -800,4 +843,103 @@ def grad_tile_pallas(
         ],
         interpret=interpret,
     )(p, d, alive, g, u_arg, pmat, table, etab, cdf)
+    return dmats[:, :n_tri].T  # (nT, 3)
+
+
+def render_tile_pallas_rec(
+    materials: jnp.ndarray,
+    scene,
+    cfg,
+    p: jnp.ndarray,  # (3, tile)
+    d: jnp.ndarray,  # (3, tile)
+    alive: jnp.ndarray,  # (1, tile) f32
+    uniforms: jnp.ndarray = None,
+    block: int = 2048,
+    interpret: bool = False,
+    seed: jnp.ndarray = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Forward render that ALSO streams the per-bounce backward records
+    to HBM: returns (radiance (3, tile), stats (2, tile), records
+    (bounces*REC_ROWS, tile)).  Feeding the records to
+    reverse_tile_pallas gives the material gradient without the full
+    forward replay _kernel_bwd pays — the records are ~bounces*64 B/ray
+    of HBM traffic (tens of ms per 64 MB tile at v5e bandwidth) versus
+    a whole second bounce-loop pass (~0.4 s at the bench config)."""
+    n_e = scene.emissive_idx.shape[0]
+    tile = p.shape[1]
+    assert tile % block == 0, (tile, block)
+    tp, pmat, table, etab, cdf = _pack_tables(scene, materials)
+
+    grid = (tile // block,)
+    ray_spec = lambda rows: pl.BlockSpec(
+        (rows, block), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    u_spec, u_arg, fused_rng = _u_spec_and_arg(cfg, uniforms, seed, ray_spec)
+
+    kernel = functools.partial(
+        _kernel_fwd, _cfg_static(cfg), tp, n_e, fused_rng,
+        scene.specular_idx.shape[0] == 0,
+    )
+    rec_rows = cfg.max_bounces * REC_ROWS
+
+    rad, stats, rec = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            ray_spec(3),
+            ray_spec(3),
+            ray_spec(1),
+            u_spec,
+            full(pmat),
+            full(table),
+            full(etab),
+            full(cdf),
+        ],
+        out_specs=[ray_spec(3), ray_spec(2), ray_spec(rec_rows)],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, tile), jnp.float32),
+            jax.ShapeDtypeStruct((2, tile), jnp.float32),
+            jax.ShapeDtypeStruct((rec_rows, tile), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ) if not interpret else None,
+        interpret=interpret,
+    )(p, d, alive, u_arg, pmat, table, etab, cdf)
+    return rad, stats, rec
+
+
+def reverse_tile_pallas(
+    n_tri: int,
+    cfg,
+    rec: jnp.ndarray,  # (bounces*REC_ROWS, tile) from render_tile_pallas_rec
+    g: jnp.ndarray,  # (3, tile) radiance cotangent
+    block: int = 2048,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Material gradient (nT, 3) from streamed records — the reverse
+    suffix recursion alone, no geometry, no scene tables, no replay."""
+    tile = g.shape[1]
+    assert tile % block == 0, (tile, block)
+    tp = _round_up(max(n_tri, 8), 8)
+    rec_rows = cfg.max_bounces * REC_ROWS
+
+    grid = (tile // block,)
+    ray_spec = lambda rows: pl.BlockSpec(
+        (rows, block), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(
+        _kernel_reverse, cfg.max_bounces, cfg.reference_quirks, tp
+    )
+    dmats = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[ray_spec(3), ray_spec(rec_rows)],
+        out_specs=pl.BlockSpec(
+            (3, tp), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, tp), jnp.float32),
+        interpret=interpret,
+    )(g, rec)
     return dmats[:, :n_tri].T  # (nT, 3)

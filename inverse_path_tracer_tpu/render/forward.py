@@ -571,6 +571,109 @@ def _grad_range_pallas(
     return jnp.sum(grads, axis=0)
 
 
+def loss_and_grad_range(
+    materials: jnp.ndarray,
+    scene: SceneData,
+    key: jax.Array,
+    cfg: RenderConfig,
+    start: jnp.ndarray,
+    count: int,
+    tile_post,
+) -> Tuple[jnp.ndarray, jnp.ndarray, RenderStats]:
+    """Fused scalar-loss value AND material gradient over a sample range.
+
+    tile_post(vals (tile, 3), tile_start) -> scalar loss contribution
+    for one tile of consecutive samples (contributions are SUMMED across
+    tiles; it must mask out-of-range lanes itself, which render as
+    zeros).  It runs as ordinary (tiny) XLA and is differentiated with
+    jax.vjp, so any per-pixel loss works as long as tile_size % spp == 0
+    (whole pixels per tile).
+
+    On the Pallas backend this is the fast training path: per tile, the
+    forward megakernel streams its per-bounce records to HBM
+    (render_tile_pallas_rec) and a reverse-only kernel
+    (reverse_tile_pallas) turns them plus the local loss cotangent into
+    the (nT, 3) material gradient — no bounce-loop replay.  jax.grad of
+    render_range computes the identical gradient (the custom-VJP
+    backward must replay the forward per tile, since whole-range records
+    would be ~bounces*64 B/sample of residuals); equality is asserted in
+    tests/test_pallas.py.
+
+    Returns (loss, d_materials (nT, 3), stats)."""
+    tile = min(cfg.tile_size, count)
+    n_tiles = -(-count // tile)
+
+    if not _use_pallas(cfg, scene):
+        # XLA fallback: identical tile_post semantics (zero-padded tail
+        # lanes), gradient via the analytic custom VJP of render_range.
+        def total(mats):
+            vals, stats = render_range(mats, scene, key, cfg, start, count)
+            vals = jnp.concatenate(
+                [vals, jnp.zeros((n_tiles * tile - count, 3), vals.dtype)]
+            )
+            loss = 0.0
+            for t in range(n_tiles):
+                loss = loss + tile_post(
+                    vals[t * tile : (t + 1) * tile], start + t * tile
+                )
+            return loss, stats
+
+        (loss, stats), g_mats = jax.value_and_grad(total, has_aux=True)(materials)
+        return loss, g_mats, stats
+
+    from inverse_path_tracer_tpu.ops.pallas.render_kernel import (
+        render_tile_pallas_rec,
+        reverse_tile_pallas,
+    )
+
+    n_tri = scene.vertices.shape[0]
+    block = _pallas_block(scene, tile, records=True)
+    interpret = jax.default_backend() != "tpu"
+    fused_rng = _pallas_fused_rng(cfg, interpret)
+
+    def tile_fn(carry, tile_start):
+        loss, dmats, segs, shadows = carry
+        idx = tile_start + jnp.arange(tile, dtype=jnp.int32)
+        in_range = idx < cfg.n_samples
+        tkey = jax.random.fold_in(key, tile_start // tile)
+        p, d = camera_rays(scene, cfg, tkey, idx)
+        uniforms = None if fused_rng else _pallas_uniforms(tkey, cfg, tile)
+        seed = _pallas_seed(tkey) if fused_rng else None
+        rad, st, rec = render_tile_pallas_rec(
+            materials,
+            scene,
+            cfg,
+            p.T,
+            d.T,
+            in_range.astype(jnp.float32)[None, :],
+            uniforms,
+            block=block,
+            interpret=interpret,
+            seed=seed,
+        )
+        lt, vjp = jax.vjp(lambda r: tile_post(r.T, tile_start), rad)
+        (g,) = vjp(jnp.ones_like(lt))
+        dm = reverse_tile_pallas(
+            n_tri, cfg, rec, g, block=block, interpret=interpret
+        )
+        return (
+            loss + lt,
+            dmats + dm,
+            segs + jnp.sum(st[0]),
+            shadows + jnp.sum(st[1]),
+        ), None
+
+    init = (
+        jnp.float32(0.0),
+        jnp.zeros((n_tri, 3), jnp.float32),
+        jnp.float32(0.0),
+        jnp.float32(0.0),
+    )
+    starts = start + jnp.arange(n_tiles, dtype=jnp.int32) * tile
+    (loss, dmats, segs, shadows), _ = jax.lax.scan(tile_fn, init, starts)
+    return loss, dmats, RenderStats(segments=segs, shadow_rays=shadows)
+
+
 def _ct_zero(x):
     """A cotangent-compatible zero for any primal (float0 for ints)."""
     import numpy as onp
