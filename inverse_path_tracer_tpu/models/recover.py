@@ -36,13 +36,46 @@ def recover_loss(
     return jnp.mean(jnp.abs(img - target01))
 
 
-def make_single_chip_step(scene: SceneData, cfg: RenderConfig, optimizer):
-    @jax.jit
+def make_single_chip_step_fn(scene: SceneData, cfg: RenderConfig, optimizer):
+    """Un-jitted recovery step, composable under jit/lax.map."""
+
     def step(theta, opt_state, key, target01):
         loss, grad = jax.value_and_grad(recover_loss)(theta, scene, key, cfg, target01)
         updates, opt_state = optimizer.update(grad, opt_state, theta)
         theta = theta + updates
         return theta, opt_state, loss
+
+    return step
+
+
+def make_single_chip_step(scene: SceneData, cfg: RenderConfig, optimizer):
+    return jax.jit(make_single_chip_step_fn(scene, cfg, optimizer))
+
+
+def make_batched_step(scene: SceneData, cfg: RenderConfig, optimizer, mesh=None):
+    """One jitted device program stepping ALL S scenes: the per-scene
+    step (optionally ray-sharded over `mesh`) is mapped over the leading
+    scene axis with lax.map — scenes run back-to-back on-device in a
+    single dispatch instead of S host round-trips (each scene's render
+    already fills the chip, so a sequential on-device map loses nothing
+    to vmap while keeping the Pallas kernels' grid semantics intact).
+
+    step(thetas (S,nT,3), opt_states (stacked), keys (S,), targets
+    (S,H,W,3)) -> (thetas, opt_states, losses (S,))."""
+    if mesh is not None:
+        from inverse_path_tracer_tpu.parallel.shard import make_recover_step_fn
+
+        inner = make_recover_step_fn(scene, cfg, mesh, optimizer)
+    else:
+        inner = make_single_chip_step_fn(scene, cfg, optimizer)
+
+    @jax.jit
+    def step(thetas, opt_states, keys, targets01):
+        def one(args):
+            th, st, k, tgt = args
+            return inner(th, st, k, tgt)
+
+        return jax.lax.map(one, (thetas, opt_states, keys, targets01))
 
     return step
 
@@ -56,44 +89,49 @@ def recover_materials_batched(
     key: Optional[jax.Array] = None,
     mesh=None,
     log_fn: Optional[Callable[[int, float], None]] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
 ) -> Tuple[jnp.ndarray, List[float]]:
     """Batched inverse recovery over S scenes (BASELINE.json configs
     #4/#5).  The reference's 100 scenes share geometry and differ only in
     the cube's Kd (SURVEY.md §1 data layer), so one SceneData serves all
     scenes with a per-scene parameter array theta (S, nT, 3).
 
-    Scenes run through ONE compiled (optionally ray-sharded) step;
-    per-scene losses/gradients are independent, so the scene axis is a
-    host-level loop over the same executable — rays stay the sharded
-    axis within each scene.  Returns (materials (S, nT, 3), loss curve
-    of per-step mean loss)."""
+    All S scenes step inside ONE compiled (optionally ray-sharded)
+    device program per optimizer step (make_batched_step) — S host
+    dispatches per step collapse to one.  Checkpoint/resume mirrors
+    recover_materials: per-step keys are pure functions of (key, step),
+    so a resumed run is bit-identical to an uninterrupted one.  Returns
+    (materials (S, nT, 3), loss curve of per-step mean loss)."""
+    import os
+
     key = jax.random.PRNGKey(0) if key is None else key
     s = targets01.shape[0]
     opt = optax.adam(lr)
-    if mesh is not None:
-        from inverse_path_tracer_tpu.parallel.shard import make_recover_step
-
-        step = make_recover_step(scene, cfg, mesh, opt)
-    else:
-        step = make_single_chip_step(scene, cfg, opt)
+    step = make_batched_step(scene, cfg, opt, mesh=mesh)
 
     thetas = jnp.zeros((s,) + scene.diffuse.shape, dtype=jnp.float32)
-    states = [opt.init(thetas[i]) for i in range(s)]
+    states = jax.vmap(opt.init)(thetas)
+    start_step = 0
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        from inverse_path_tracer_tpu.utils.checkpoint import load_checkpoint
+
+        (thetas, states), start_step = load_checkpoint(
+            checkpoint_path, (thetas, states)
+        )
     losses = []
-    for i in range(steps):
+    for i in range(start_step, steps):
         rkey = jax.random.fold_in(key, i)
-        total = 0.0
-        new_thetas = []
-        for j in range(s):
-            th, states[j], loss = step(
-                thetas[j], states[j], jax.random.fold_in(rkey, j), targets01[j]
-            )
-            new_thetas.append(th)
-            total += float(loss)
-        thetas = jnp.stack(new_thetas)
-        losses.append(total / s)
+        keys = jax.vmap(lambda j: jax.random.fold_in(rkey, j))(jnp.arange(s))
+        thetas, states, step_losses = step(thetas, states, keys, targets01)
+        losses.append(float(step_losses.mean()))
         if log_fn is not None:
             log_fn(i, losses[-1])
+        if checkpoint_path and checkpoint_every and (i + 1) % checkpoint_every == 0:
+            from inverse_path_tracer_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(checkpoint_path, (thetas, states), step=i + 1)
     return jax.nn.sigmoid(thetas), losses
 
 

@@ -23,6 +23,7 @@ run (still a correct render, just a different random stream).
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -36,6 +37,26 @@ from inverse_path_tracer_tpu.ops.tonemap import tonemap_mean
 from inverse_path_tracer_tpu.scene.build import SceneData
 
 AXIS = "rays"
+
+
+class TileRNGInvariantWarning(UserWarning):
+    """cfg.tile_size exceeds the per-device sample count: the effective
+    tile shrinks inside each shard, the global tile RNG keys no longer
+    line up with the single-chip run, and the N-chip render — while
+    still a correct, deterministic render — is NOT bit-identical to the
+    1-chip render (CLAUDE.md invariant)."""
+
+
+def _check_tile_invariant(cfg: RenderConfig, per_dev: int) -> None:
+    if cfg.tile_size > per_dev:
+        warnings.warn(
+            f"tile_size={cfg.tile_size} > per-device sample count "
+            f"{per_dev}: N-chip render will not be bit-identical to the "
+            f"1-chip render (different tile RNG keys). Set tile_size <= "
+            f"{per_dev} to restore the invariant.",
+            TileRNGInvariantWarning,
+            stacklevel=3,
+        )
 
 
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -76,6 +97,7 @@ def render_samples_sharded(
     sample axis split over the 'rays' mesh axis."""
     n_dev = mesh.devices.size
     per_dev = _per_device_count(cfg, n_dev)
+    _check_tile_invariant(cfg, per_dev)
 
     @functools.partial(
         shard_map,
@@ -106,7 +128,7 @@ def render_image_sharded(
     return tonemap_mean(samples, cfg.spp).reshape(cfg.height, cfg.width, 3)
 
 
-def make_recover_step(
+def make_recover_step_fn(
     scene: SceneData,
     cfg: RenderConfig,
     mesh: Mesh,
@@ -123,10 +145,13 @@ def make_recover_step(
 
     Each device renders its ray shard, computes the gradient of its
     partial loss w.r.t. the *replicated* parameters, and psums both loss
-    and gradient — the all-reduce is the only collective.  Returns
-    step(params, opt_state, key, target) -> (params, opt_state, loss)."""
+    and gradient — the all-reduce is the only collective.  Returns the
+    UN-jitted step(params, opt_state, key, target) -> (params, opt_state,
+    loss), composable under jit/lax.map (models/recover.py batches it
+    over a scene axis); make_recover_step below is the jitted wrapper."""
     n_dev = mesh.devices.size
     per_dev = _per_device_count(cfg, n_dev)
+    _check_tile_invariant(cfg, per_dev)
     pixels_per_dev = per_dev // cfg.spp
     denom = float(cfg.width * cfg.height * 3)
 
@@ -167,9 +192,18 @@ def make_recover_step(
         theta = jax.tree.map(lambda p, u: p + u, theta, updates)
         return theta, opt_state, loss
 
-    @jax.jit
     def step(theta, opt_state, key, target):
         target_flat = target.reshape(-1, 3)
         return sharded_step(theta, opt_state, scene, key, target_flat)
 
     return step
+
+
+def make_recover_step(
+    scene: SceneData,
+    cfg: RenderConfig,
+    mesh: Mesh,
+    optimizer,
+) -> Callable:
+    """Jitted single-scene sharded recovery step (see make_recover_step_fn)."""
+    return jax.jit(make_recover_step_fn(scene, cfg, mesh, optimizer))

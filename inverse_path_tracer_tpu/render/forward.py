@@ -473,7 +473,19 @@ def _pallas_block(scene: SceneData, tile: int, records: bool = False) -> int:
     while block * 2 <= min(cap >> 5, budget):
         block *= 2
     block = min(block, tile)
-    return block if tile % block == 0 else tile
+    # The kernel grid is tile // block, so block must divide tile.  Halve
+    # until it does (staying under the VMEM budget) rather than silently
+    # widening to the whole tile, which for a large non-power-of-two tile
+    # would blow VMEM.
+    while tile % block != 0 and block > 128:
+        block //= 2
+    if tile % block != 0:
+        raise ValueError(
+            f"Pallas render tile {tile} is not a multiple of the minimum "
+            f"ray-block width 128; choose cfg.tile_size (or a sample count "
+            f"below it) that is a multiple of 128, or use backend='xla'."
+        )
+    return block
 
 
 def _render_range_pallas_impl(

@@ -49,7 +49,7 @@ def main():
     ap.add_argument("--recover-steps", type=int, default=200)
     ap.add_argument("--eval-scenes", type=int, default=4)
     ap.add_argument(
-        "--phases", default="generate,dataset,train,evaluate,recover"
+        "--phases", default="generate,dataset,train,train0,evaluate,recover"
     )
     args = ap.parse_args()
     phases = set(args.phases.split(","))
@@ -147,6 +147,50 @@ def main():
         kd_err = float(jnp.abs(preds - y).mean())
         done("train", t0, epochs=args.gcn_epochs, scenes=args.n,
              final_l1=round(float(loss), 5), mean_kd_err=round(kd_err, 5))
+
+    if "train0" in phases:
+        # The reference's EXACT experiment: train on scene [0] only
+        # (ipt.py:100, data = torch.load('data.pt')[:1]) at the full
+        # 100k-epoch schedule, then re-render scene 0 with the predicted
+        # materials (ipt.py:127-140) -> preds0/0_pred.png + PSNR.
+        import shutil
+        from PIL import Image
+        from inverse_path_tracer_tpu.data.pipeline import render_with_materials
+        from inverse_path_tracer_tpu.models.gcn import (
+            build_dense_graph, gcn_forward, train_gcn,
+        )
+        from inverse_path_tracer_tpu.utils.checkpoint import save_checkpoint
+        from inverse_path_tracer_tpu.utils.metrics import psnr
+
+        t0 = time.time()
+        with np.load(data_npz) as d:
+            adj0, x0 = build_dense_graph(
+                jnp.asarray(d["w"][0]), jnp.asarray(d["pixel"][0])
+            )
+            y0 = jnp.asarray(d["labels"][0])
+        params0, loss0 = train_gcn(
+            jax.random.PRNGKey(0), adj0, x0, y0,
+            epochs=args.gcn_epochs, lr=1e-4, log_every=10_000,
+            log_fn=lambda s, l: print(f"  gcn0 step {s}: L1 {l:.5f}", flush=True),
+        )
+        save_checkpoint(os.path.join(args.workdir, "gcn0_params.npz"),
+                        params0, step=args.gcn_epochs, final_loss=loss0)
+        preds0 = gcn_forward(params0, adj0, x0)
+        kd_err0 = float(jnp.abs(preds0 - y0).mean())
+        preds0_dir = os.path.join(args.workdir, "preds0")
+        os.makedirs(preds0_dir, exist_ok=True)
+        true_png = os.path.join(imgs_dir, "0.png")
+        pred_png = os.path.join(preds0_dir, "0_pred.png")
+        shutil.copy(true_png, os.path.join(preds0_dir, "0_true.png"))
+        render_with_materials(
+            os.path.join(scenes_dir, "0.txt"), pred_png, preds0, cfg,
+            asset_root=REF,
+        )
+        a = np.asarray(Image.open(true_png).convert("RGB"), np.float32) / 255
+        b = np.asarray(Image.open(pred_png).convert("RGB"), np.float32) / 255
+        done("train0", t0, epochs=args.gcn_epochs,
+             final_l1=round(float(loss0), 5), kd_err=round(kd_err0, 5),
+             psnr_true_vs_pred=round(float(psnr(a, b)), 2))
 
     if "evaluate" in phases:
         import shutil

@@ -81,3 +81,42 @@ def test_recover_step_decreases_loss(cornell_scene):
         theta, state, loss = step(theta, state, key, target)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_tile_rng_invariant_warning(cornell_scene):
+    """tile_size > per-device sample count breaks the N-chip == 1-chip
+    RNG invariant; the sharded entry points must warn (CLAUDE.md
+    invariant, enforced instead of silent)."""
+    import warnings
+
+    from inverse_path_tracer_tpu.parallel.shard import TileRNGInvariantWarning
+
+    key = jax.random.PRNGKey(0)
+    big_tile = CFG.with_(tile_size=1 << 16)  # 1024 samples / 8 dev = 128 < 65536
+    with pytest.warns(TileRNGInvariantWarning):
+        render_samples_sharded(
+            cornell_scene.diffuse, cornell_scene, key, big_tile, make_mesh(8)
+        )
+    # The aligned config stays silent.
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", TileRNGInvariantWarning)
+        render_samples_sharded(
+            cornell_scene.diffuse, cornell_scene, key, CFG, make_mesh(8)
+        )
+
+
+def test_pallas_block_divides_tile(cornell_scene):
+    """_pallas_block must return a divisor of the tile bounded by the
+    VMEM budget — never silently widen to a huge non-power-of-two tile —
+    and reject tiles that no >=128 block divides."""
+    from inverse_path_tracer_tpu.render.forward import _pallas_block
+
+    b = _pallas_block(cornell_scene, 1 << 16)
+    assert (1 << 16) % b == 0 and b <= 8192
+    # Non-power-of-two tile: block stays a legal (lane-aligned) divisor.
+    b = _pallas_block(cornell_scene, 128 * 3)
+    assert (128 * 3) % b == 0 and b % 128 == 0
+    b = _pallas_block(cornell_scene, 128 * 5 * 64)  # 40960: not a power of 2
+    assert (128 * 5 * 64) % b == 0 and b % 128 == 0 and b <= 8192
+    with pytest.raises(ValueError, match="multiple of 128"):
+        _pallas_block(cornell_scene, 100 * 100)
