@@ -60,6 +60,14 @@ def bench_forward(scene, cfg, iters=3):
         rays = float(stats.segments) + float(stats.shadow_rays)
     dt = min(times)
     log(f"fwd: {dt:.3f}s best of {iters}, rays={rays:.3e}, {rays/dt:.3e} rays/s")
+
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        from inverse_path_tracer_tpu.utils.profiling import profile_trace
+
+        with profile_trace(profile_dir):
+            jax.block_until_ready(run(scene.diffuse, jax.random.PRNGKey(99)))
+        log(f"fwd trace -> {profile_dir}")
     return rays / dt, rays
 
 
@@ -119,6 +127,46 @@ def bench_forward_backward(scene, cfg, iters=3):
     return rays / dt, rays
 
 
+def bench_verify_grad(scene, backend):
+    """Fused-RNG gradient correctness, enforced on hardware each round
+    (VERDICT r1 weak #2): the production rng="fused"/grad_mode="custom"
+    path cannot run under the CPU test suite (no PRNG lowering in
+    interpret mode), so the finite-difference check runs HERE, on the
+    real TPU, and its pass/fail lands in the bench JSON.
+
+    With a fixed key the renderer is a deterministic function of the
+    materials, so pathwise grad vs central finite differences along a
+    random direction must agree to MC-free tolerance:
+    ratio = <g, v> / FD_v ~ 1 (0.95..1.05 gate; CLAUDE.md measured
+    0.98..1.01 on v5e)."""
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = RenderConfig(
+        width=64, height=64, spp=16, max_bounces=8, tile_size=1 << 14,
+        backend=backend,
+        rng="fused" if on_tpu else "external",
+    )
+    key = jax.random.PRNGKey(7)
+
+    @jax.jit
+    def loss(mats):
+        vals, _ = render_samples(mats, scene, key, cfg)
+        return tonemap_mean(vals, cfg.spp).mean()
+
+    g = jax.jit(jax.grad(loss))(scene.diffuse)
+    v = jax.random.normal(jax.random.PRNGKey(11), scene.diffuse.shape)
+    v = v / jnp.linalg.norm(v)
+    eps = 2e-2
+    lp = loss(scene.diffuse + eps * v)
+    lm = loss(scene.diffuse - eps * v)
+    fd = float(lp - lm) / (2 * eps)
+    an = float(jnp.sum(g * v))
+    ratio = an / fd if fd != 0 else float("inf")
+    ok = 0.95 < ratio < 1.05
+    log(f"grad verify ({cfg.rng} rng): analytic={an:.6e} fd={fd:.6e} "
+        f"ratio={ratio:.4f} -> {'OK' if ok else 'FAIL'}")
+    return ok, ratio, cfg.rng
+
+
 def main():
     width = int(os.environ.get("BENCH_WIDTH", 512))
     height = int(os.environ.get("BENCH_HEIGHT", 512))
@@ -143,6 +191,11 @@ def main():
     fwdbwd_rps, _ = bench_forward_backward(scene, cfg)
     inverse_s = bench_inverse(scene, cfg)
 
+    verify = os.environ.get("BENCH_VERIFY", "1") != "0"
+    grad_ok = grad_ratio = grad_rng = None
+    if verify:
+        grad_ok, grad_ratio, grad_rng = bench_verify_grad(scene, backend)
+
     # vs_baseline: ratio to this harness's first recorded number.
     if os.path.exists(BASE_FILE):
         with open(BASE_FILE) as f:
@@ -165,6 +218,10 @@ def main():
         "inverse_extract_s": inverse_s,
         "inverse_rays_per_sec_equiv": fwd_rays / inverse_s,
     }
+    if verify:
+        result["grad_fd_ok"] = grad_ok
+        result["grad_fd_ratio"] = grad_ratio
+        result["grad_fd_rng"] = grad_rng
     print(json.dumps(result), flush=True)
 
 

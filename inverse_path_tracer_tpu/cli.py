@@ -38,6 +38,26 @@ def _cfg_from_args(args):
     )
 
 
+def _add_dist_args(p: argparse.ArgumentParser):
+    """Multi-host flags (SURVEY.md §2.3): every host runs the same
+    command with its own --process-id; jax.distributed wires them and
+    the 'rays' mesh axis spans all hosts' devices."""
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator address host:port (enables multi-host)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+
+
+def _maybe_distributed(args):
+    if getattr(args, "coordinator", None):
+        from inverse_path_tracer_tpu.parallel.multihost import init_distributed
+
+        info = init_distributed(
+            args.coordinator, args.num_processes, args.process_id
+        )
+        print(f"multihost: {info}", flush=True)
+
+
 def _add_render_args(p: argparse.ArgumentParser, width=512, height=512, spp=64):
     p.add_argument("--width", type=int, default=width)
     p.add_argument("--height", type=int, default=height)
@@ -60,6 +80,7 @@ def _maybe_cpu(args):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    _maybe_distributed(args)
 
 
 def cmd_render(args):
@@ -67,11 +88,17 @@ def cmd_render(args):
     import jax
     from inverse_path_tracer_tpu.render.forward import render_to_png
     from inverse_path_tracer_tpu.scene.build import load_scene
+    from inverse_path_tracer_tpu.utils.profiling import profile_trace
 
     scene = load_scene(args.scene, asset_root=args.asset_root)
     cfg = _cfg_from_args(args)
-    render_to_png(scene.diffuse, scene, jax.random.PRNGKey(args.seed), cfg, args.out)
+    with profile_trace(args.profile):
+        render_to_png(
+            scene.diffuse, scene, jax.random.PRNGKey(args.seed), cfg, args.out
+        )
     print(f"wrote {args.out} ({cfg.width}x{cfg.height}, {cfg.spp} spp)")
+    if args.profile:
+        print(f"trace -> {args.profile} (view: tensorboard --logdir {args.profile})")
 
 
 def cmd_generate(args):
@@ -328,7 +355,10 @@ def main(argv=None):
     pr = sub.add_parser("render", help="forward-render a scene to PNG")
     pr.add_argument("scene")
     pr.add_argument("out")
+    pr.add_argument("--profile", default=None,
+                    help="dump a TensorBoard/XPlane trace to this directory")
     _add_render_args(pr)
+    _add_dist_args(pr)
     pr.set_defaults(fn=cmd_render)
 
     pg = sub.add_parser("generate", help="generate n scenes + renders")
@@ -375,6 +405,7 @@ def main(argv=None):
     pv.add_argument("--resume", action="store_true",
                     help="resume from --checkpoint if it exists")
     _add_render_args(pv, width=128, height=128, spp=16)
+    _add_dist_args(pv)
     pv.set_defaults(fn=cmd_recover)
 
     pmd = sub.add_parser("make-dataset", help="cache all scene graphs to one npz")
@@ -396,6 +427,7 @@ def main(argv=None):
     prb.add_argument("--log", default=None)
     prb.add_argument("--log-every", type=int, default=10)
     _add_render_args(prb, width=256, height=256, spp=64)
+    _add_dist_args(prb)
     prb.set_defaults(fn=cmd_recover_batch)
 
     pe2 = sub.add_parser(

@@ -51,6 +51,12 @@ def main():
     ap.add_argument(
         "--phases", default="generate,dataset,train,train0,evaluate,recover"
     )
+    ap.add_argument(
+        "--use-ref-scenes", action="store_true",
+        help="consume the reference's committed scenes/*.txt verbatim "
+        "instead of generating fresh random-Kd scenes (exact parity "
+        "with the reference dataset incl. preds/0_true.png's cube Kd)",
+    )
     args = ap.parse_args()
     phases = set(args.phases.split(","))
 
@@ -93,15 +99,39 @@ def main():
         print(f"[{phase}] {dt:.1f}s {kv}", flush=True)
 
     if "generate" in phases:
-        from inverse_path_tracer_tpu.data.pipeline import generate_files
-
         t0 = time.time()
-        generate_files(
-            args.n, cfg, scenes_dir=scenes_dir, imgs_dir=imgs_dir,
-            asset_root=REF, seed=0,
-        )
+        if args.use_ref_scenes:
+            # The reference's committed scene files are inputs (data, not
+            # code): copy them and render each — image-level results stay
+            # directly comparable to /root/reference/preds/*.png.
+            import shutil
+
+            import jax.random as jr
+            from inverse_path_tracer_tpu.render.forward import render_to_png
+            from inverse_path_tracer_tpu.scene.build import load_scene
+
+            os.makedirs(scenes_dir, exist_ok=True)
+            os.makedirs(imgs_dir, exist_ok=True)
+            key = jr.PRNGKey(0)
+            for i in range(args.n):
+                src = os.path.join(REF, "scenes", f"{i}.txt")
+                dst = os.path.join(scenes_dir, f"{i}.txt")
+                shutil.copy(src, dst)
+                scene = load_scene(dst, asset_root=REF)
+                render_to_png(
+                    scene.diffuse, scene, jr.fold_in(key, i), cfg,
+                    os.path.join(imgs_dir, f"{i}.png"),
+                )
+        else:
+            from inverse_path_tracer_tpu.data.pipeline import generate_files
+
+            generate_files(
+                args.n, cfg, scenes_dir=scenes_dir, imgs_dir=imgs_dir,
+                asset_root=REF, seed=0,
+            )
         done("generate", t0, scenes=args.n,
-             samples_per_render=cfg.n_samples)
+             samples_per_render=cfg.n_samples,
+             ref_scenes=bool(args.use_ref_scenes))
 
     if "dataset" in phases:
         from inverse_path_tracer_tpu.data.pipeline import generate_data
