@@ -91,18 +91,39 @@ class RenderConfig:
     #               (rematerialized) scan.
     grad_mode: str = "custom"
     # Uniform-stream source for the Pallas kernels:
-    #   "auto"     — on-core PRNG (pltpu.prng_random_bits) when running
-    #                on a real TPU with grad_mode="custom"; external
-    #                threefry otherwise.  Fused RNG removes the XLA
-    #                threefry generation and the (bounces*8, tile) HBM
-    #                uniforms stream; renders stay deterministic in the
-    #                key and N-chip == 1-chip (seeds are global block
-    #                indices), but samples differ from the XLA path.
+    #   "auto"     — in-kernel counter-hash RNG (murmur3-fmix32 double
+    #                mix over (key words, global sample index, bounce,
+    #                slot)) when running on a real TPU with
+    #                grad_mode="custom"; external threefry otherwise.
+    #                Fused RNG removes the XLA threefry generation and
+    #                the (bounces*8, tile) HBM uniforms stream; renders
+    #                are deterministic in the key and bit-identical
+    #                under ANY tiling / sharding / lane compaction
+    #                (streams are pure functions of the global sample
+    #                index), but samples differ from the XLA path.
     #   "external" — always feed the XLA threefry uniforms (required for
-    #                bitwise XLA<->Pallas comparison; the only mode the
-    #                CPU interpreter supports).
-    #   "fused"    — force the on-core PRNG where supported.
+    #                bitwise XLA<->Pallas comparison).
+    #   "fused"    — force the hash RNG anywhere, including the CPU
+    #                interpreter (used by tests to FD-check fused-mode
+    #                gradients off-hardware).
     rng: str = "auto"
+    # Pallas bounce-loop organisation:
+    #   "auto"/"staged" — staged compaction wavefront: the bounce loop
+    #                runs in stages of `stage_bounces`; between stages
+    #                the lane carry is stable-partitioned alive-first so
+    #                dead lanes cluster into trailing ray blocks, whose
+    #                in-kernel while_loop exits immediately.  Work per
+    #                bounce tracks the ACTUAL alive curve (Russian
+    #                roulette + escapes kill most lanes early) instead
+    #                of paying max_bounces full-SIMD slots per ray.
+    #   "mega"     — the whole bounce loop in one kernel per ray block;
+    #                zero orchestration overhead, maximal dead work.
+    #                Kept as the bit-parity oracle for the staged path.
+    wavefront: str = "auto"
+    # Bounces per compaction stage (staged wavefront only): smaller
+    # tracks the alive decay tighter but pays more partition/launch
+    # overhead per tile.
+    stage_bounces: int = 2
     # Ray-intersection strategy for the XLA path:
     #   "auto"/"brute" — the dense plane-matmul sweep over all triangles
     #                    (MXU-optimal at the reference's scene sizes and

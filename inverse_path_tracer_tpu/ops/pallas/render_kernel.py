@@ -1,11 +1,30 @@
-"""Fused forward-render and backward-gradient megakernels (Pallas/Mosaic).
+"""Fused forward-render and backward-gradient kernels (Pallas/Mosaic).
 
 The whole bounce loop — intersect, NEE (with its second intersect),
-BSDF, RR, direction sampling, radiance accumulation — runs inside ONE
-kernel per ray block, with every intermediate resident in VMEM.  This is
-the TPU analogue of the reference's renderSample CUDA megakernel
+BSDF, RR, direction sampling, radiance accumulation — runs inside
+kernels with every intermediate resident in VMEM.  This is the TPU
+analogue of the reference's renderSample CUDA megakernel
 (path_trace.cu:146-184), minus the divergence: lanes are masked, trips
 are fixed.
+
+Two kernel organisations share one bounce body (_make_bounce):
+
+  * mega (render_tile_pallas / grad_tile_pallas / *_rec / reverse):
+    all cfg.max_bounces bounces in ONE kernel per ray block.  Simple,
+    zero orchestration overhead — but every bounce slot pays full SIMD
+    width even though Russian roulette + escapes kill most lanes early
+    (expected live bounces ~4-5 of 16 at p_rr=.9 on the Cornell scene).
+
+  * staged (init_tile_pallas / stage_tile_pallas /
+    stage_reverse_tile_pallas): the bounce loop is split into stages of
+    cfg.stage_bounces bounces; between stages the HOST program (XLA, see
+    render/forward.py _render_range_staged_impl) stable-partitions the
+    24-row lane carry so alive lanes pack into the leading ray blocks,
+    and each block's in-kernel while_loop exits as soon as ALL of its
+    lanes are dead.  Dead blocks cost ~a DMA; live work tracks the
+    actual alive curve instead of the worst case.  The stage kernel
+    takes the starting bounce as a traced SMEM scalar, so ONE compiled
+    kernel serves every stage via lax.scan.
 
 Layout: rays live on the LANE axis.  Every per-ray quantity is
 (k, BLOCK) with k on sublanes (vec3 -> 3 rows, per-triangle sweeps ->
@@ -15,30 +34,30 @@ per-triangle plane tests (hit plane + 3 edge planes) are packed into a
 single (4*Tp, 4) x (4, 2*BLOCK) MXU matmul per intersect — origins and
 directions share the rhs — instead of eight K=4 dispatches.  Hit-value
 lookup is one (13,Tp)x(Tp,BLOCK) matmul against a one-hot selection
-built from argmin (ties resolve to the lowest triangle index — the
-reference's scan order).
+rebuilt from the carried hit index (ties resolve to the lowest triangle
+index — the reference's scan order).
 
 RNG, two modes (cfg.rng):
   * external — the kernels consume the SAME threefry uniforms as the
     XLA path (generated outside, passed in as a (bounces*8, tile)
     input), so the backends produce bit-comparable radiance — the XLA
     renderer is the oracle in tests/test_pallas.py.
-  * fused (TPU only; the "auto" default resolves to it on real TPU
-    with grad_mode="custom") — the per-bounce uniforms come from the
-    on-core PRNG (pltpu.prng_random_bits), seeded per ray block from
-    (threefry tile key words, grid block index), eliminating the XLA
-    threefry generation (~9% of forward) and the (bounces*8, tile)
-    HBM uniforms stream.  Streams are deterministic in the key and
-    depend only on GLOBAL block indices, so N-chip renders stay
-    bit-identical to 1-chip; the forward and backward kernels draw in
-    identical order, so the replay sees the exact forward streams.
+  * fused — counter-based in-kernel hash RNG: uniform (sample, bounce,
+    slot) is a pure function of the render key words and the GLOBAL
+    sample index (murmur3-fmix32 double mix), so streams are invariant
+    under tiling, sharding, AND lane compaction: N-chip renders are
+    bit-identical to 1-chip per sample, the backward replay trivially
+    reproduces the forward streams, and (unlike the stateful
+    pltpu.prng_random_bits this replaces) the mode runs under the CPU
+    interpreter, so its gradients are finite-difference-checked in the
+    test suite, not just on hardware.
 
-Gradients (grad_tile_pallas): the radiance estimator is multilinear in
-the per-bounce diffuse albedos (see render/diff.py for the derivation),
-so the backward pass is a second fused kernel that
+Gradients (grad_tile_pallas / the staged reverse): the radiance
+estimator is multilinear in the per-bounce diffuse albedos (see
+render/diff.py for the derivation), so the backward pass
   1. replays the forward bounce loop, writing the 16 rows/bounce of
-     records (f, c, nee, pm, coeff, tri, hit, escape) into a VMEM
-     scratch — they never touch HBM;
+     records (f, c, nee, pm, coeff, tri, hit, escape) into VMEM scratch
+     (mega) or streaming per-stage records to HBM (staged);
   2. runs the suffix recursion in reverse bounce order, carrying
      suffix/escape lanes and accumulating the material cotangent with
      one (3,B)x(Tp,B)^T lane-contraction matmul per bounce;
@@ -62,6 +81,11 @@ PI = 3.141592653589793
 # dynamic sublane slices are legal for Mosaic): f(3) c(3) nee(3) pm(3)
 # coeff(1) tri(1) hit(1) escape(1).
 REC_ROWS = 16
+
+# Staged-wavefront lane carry, (CARRY_ROWS, tile) f32 rows:
+# d 0:3, point 3:6, hit 6, idx 7, l_e 8:11, l_d 11:14, prev_mult 14:17,
+# alive 17, radiance 18:21, segments 21, shadow 22, pad 23.
+CARRY_ROWS = 24
 
 # pl is imported lazily so CPU-only environments without pallas work.
 try:
@@ -118,10 +142,12 @@ def _make_geom(tp, pmat, block, min_dot, epsilon) -> _Geom:
     iota_t = jax.lax.broadcasted_iota(jnp.int32, (tp, block), 0)
     iota_tf = iota_t.astype(jnp.float32)
 
-    def _finish(a, bb, p, d, want_sel):
+    def _finish(a, bb, p, d):
         """Closest-hit resolution from the projected plane values:
         a = origin·planes (4Tp rows: face plane then 3 edge planes),
-        bb = direction·planes."""
+        bb = direction·planes.  Returns (t_best (1,B), hit (1,B) f32
+        0/1, idx_f (1,B) f32 hit index masked to 0 on miss,
+        point (3,B))."""
         a0 = a[0:tp]
         b0 = bb[0:tp]
         t = a0 / (-b0)
@@ -134,27 +160,24 @@ def _make_geom(tp, pmat, block, min_dot, epsilon) -> _Geom:
         hit = jnp.isfinite(t_best)
         idx = jnp.argmin(t_masked, axis=0).astype(jnp.int32)[None, :]  # (1, B)
         idx_f = jnp.where(hit, idx.astype(jnp.float32), 0.0)
-        sel = ((iota_t == idx) & hit).astype(jnp.float32) if want_sel else None
         t_safe = jnp.where(hit, t_best, 0.0)
         point = p + d * t_safe
         # hit as f32 0/1: the tuple is carried across the bounce loop
         # and Mosaic cannot legalize boolean vectors in loop carries.
-        return t_best, hit.astype(jnp.float32), sel, idx_f, point
+        return t_best, hit.astype(jnp.float32), idx_f, point
 
-    def intersect(p, d, want_sel=True):
-        """-> (t_best (1,B), hit (1,B) f32 0/1, sel (Tp,B) f32 or None,
-               idx_f (1,B) f32 hit index masked to 0 on miss, point (3,B)).
+    def intersect(p, d):
+        """-> (t_best (1,B), hit (1,B) f32 0/1, idx_f (1,B) f32 hit
+               index masked to 0 on miss, point (3,B)).
 
         One packed matmul: rows [j*Tp:(j+1)*Tp] of pmat are plane j
         (j=0 the face plane, j=1..3 the edge planes), rhs columns
-        [:B] homogeneous origins, [B:] homogeneous directions.
-        want_sel=False (NEE shadow rays — only the hit *identity* is
-        checked, inv_path_trace.cu:81) skips the (Tp,B) one-hot."""
+        [:B] homogeneous origins, [B:] homogeneous directions."""
         p4 = jnp.concatenate([p, ones_row], axis=0)  # (4, B)
         d4 = jnp.concatenate([d, zeros_row], axis=0)
         pd4 = jnp.concatenate([p4, d4], axis=1)  # (4, 2B)
         ab = jnp.dot(pmat, pd4, preferred_element_type=jnp.float32)  # (4Tp, 2B)
-        return _finish(ab[:, :block], ab[:, block:], p, d, want_sel)
+        return _finish(ab[:, :block], ab[:, block:], p, d)
 
     def intersect_pair(p, d1, d2):
         """Shared-origin double intersect: the NEE shadow ray and the
@@ -164,17 +187,15 @@ def _make_geom(tp, pmat, block, min_dot, epsilon) -> _Geom:
         the 4B of two separate intersects.
 
         Returns (shadow := (t, hit, idx_f), next := full intersect
-        tuple with selection)."""
+        tuple)."""
         p4 = jnp.concatenate([p, ones_row], axis=0)  # (4, B)
         d14 = jnp.concatenate([d1, zeros_row], axis=0)
         d24 = jnp.concatenate([d2, zeros_row], axis=0)
         pdd = jnp.concatenate([p4, d14, d24], axis=1)  # (4, 3B)
         ab = jnp.dot(pmat, pdd, preferred_element_type=jnp.float32)
         a = ab[:, :block]
-        t1, hit1, _s1, idx1_f, _p1 = _finish(
-            a, ab[:, block : 2 * block], p, d1, False
-        )
-        nxt = _finish(a, ab[:, 2 * block :], p, d2, True)
+        t1, hit1, idx1_f, _p1 = _finish(a, ab[:, block : 2 * block], p, d1)
+        nxt = _finish(a, ab[:, 2 * block :], p, d2)
         return (t1, hit1, idx1_f), nxt
 
     def normalize3(v):
@@ -255,13 +276,15 @@ def _make_bounce(cfg_static, tp, n_emissive, no_spec, pmat, table, etab, cdf,
                  block):
     """Build the shared per-bounce forward step.
 
-    Returns (bounce, init_carry): bounce(b, u, carry) -> (new_carry,
-    _BounceOut) with carry = (d, isect, l_e, l_d, prev_mult, alive),
-    isect the current ray's intersect tuple — each bounce CONSUMES the
-    carried intersection and PRODUCES the next one fused with its NEE
+    Returns bounce(b, u, st) -> (new_st, _BounceOut) with the lane state
+    st = (d, hit, idx_f, point, l_e, l_d, prev_mult, alive): the CURRENT
+    ray's pending intersection travels in (hit, idx_f, point) — each
+    bounce CONSUMES it and PRODUCES the next one fused with its NEE
     shadow ray (intersect_pair: both start at the hit point), saving a
-    quarter of the per-bounce intersect matmul columns.  init_carry(p,
-    d, alive) runs the bounce-0 intersect.  Replicates the reference
+    quarter of the per-bounce intersect matmul columns.  The one-hot
+    triangle selection is rebuilt from idx_f (2 ops/pair), so the state
+    is exactly the rows the staged wavefront carries through HBM
+    between stages (CARRY_ROWS layout).  Replicates the reference
     radiance step path_trace.cu:111-144 plus the loop body :175-181
     (quirks documented in render/forward.py).
 
@@ -288,17 +311,20 @@ def _make_bounce(cfg_static, tp, n_emissive, no_spec, pmat, table, etab, cdf,
     smooth_at = geom.smooth_at
     iota_tf = geom.iota_tf
 
-    def init_carry(p, d, alive):
-        """Initial loop carry: the bounce-0 intersect runs once here;
+    def init_state(p, d, alive):
+        """Initial lane state: the bounce-0 intersect runs once here;
         every later intersect rides the fused shadow/next matmul."""
         zero3 = jnp.zeros((3, block), dtype=jnp.float32)
-        return (d, intersect(p, d), zero3, zero3, zero3 + 1.0, alive)
+        _t, hit, idx_f, point = intersect(p, d)
+        return (d, hit, idx_f, point, zero3, zero3, zero3 + 1.0, alive)
 
-    def bounce(b, u, carry):
-        (d, isect, l_e, l_d, prev_mult, alive) = carry
-        t_best, hit, sel, idx_f, point = isect
+    def bounce(b, u, st):
+        (d, hit, idx_f, point, l_e, l_d, prev_mult, alive) = st
         act = alive  # (1, B) f32 0/1
         hit_act = act * hit
+        # One-hot selection of the pending hit (lowest-index tie already
+        # resolved by _finish's argmin).
+        sel = ((iota_tf == idx_f) & (hit > 0)).astype(jnp.float32)  # (Tp,B)
 
         hv = jnp.dot(table, sel, preferred_element_type=jnp.float32)  # (13|32, B)
         emission = hv[0:3]
@@ -380,7 +406,7 @@ def _make_bounce(cfg_static, tp, n_emissive, no_spec, pmat, table, etab, cdf,
             cos_theta_p = -dot3(light_n, to_light)
             ok = ok * (cos_theta_p >= 0.0).astype(jnp.float32)
             ok = ok * (s_idx_f == row[15:16]).astype(jnp.float32)
-            geom = (
+            geo = (
                 cos_theta
                 * cos_theta_p
                 / jnp.where(ok > 0, st_best, 1.0) ** 2
@@ -391,8 +417,8 @@ def _make_bounce(cfg_static, tp, n_emissive, no_spec, pmat, table, etab, cdf,
             else:
                 sc = spec_coeff(mat_shin, shade_n, d, to_light)
                 bsdf_direct = kd + mat_spec * sc
-            nee_term = jnp.where(ok > 0, row[9:12] * geom, 0.0)
-            l_d_fresh = jnp.where(ok > 0, bsdf_direct * (row[9:12] * geom), 0.0)
+            nee_term = jnp.where(ok > 0, row[9:12] * geo, 0.0)
+            l_d_fresh = jnp.where(ok > 0, bsdf_direct * (row[9:12] * geo), 0.0)
             shadow_inc = hit_act
         else:
             isect_next = intersect(point, next_dir)
@@ -411,7 +437,7 @@ def _make_bounce(cfg_static, tp, n_emissive, no_spec, pmat, table, etab, cdf,
 
         if no_spec:
             bsdf = kd / PI
-            coeff = cosine * PI / p_rr  # cosine / pdf(=1/pi) / p_rr
+            coeff = cosine * PI / p_rr  # cosine / pdf(=1/pi) / p_RR
         else:
             pdf = jnp.where(
                 is_spec > 0, ((mat_shin + 1.0) * cos_t) ** mat_shin, 1.0 / PI
@@ -438,41 +464,77 @@ def _make_bounce(cfg_static, tp, n_emissive, no_spec, pmat, table, etab, cdf,
             seg=act,
             shadow=shadow_inc,
         )
+        _tn, hit_n, idx_n, point_n = isect_next
         # Dead lanes carry the (masked-everywhere) junk next intersect
         # instead of re-intersecting a stale ray: every consumer gates
         # on `alive`, so the values never surface.
-        new_carry = (
+        new_st = (
             jnp.where(cont > 0, next_dir, d),
-            isect_next,
+            hit_n,
+            idx_n,
+            point_n,
             l_e,
             l_d,
             jnp.where(cont > 0, prev_mult * f, prev_mult),
             cont,
         )
-        return new_carry, out
+        return new_st, out
 
-    return bounce, init_carry
+    return bounce, init_state
 
 
-def _unit_from_bits(bits) -> jnp.ndarray:
-    """uint32 random bits -> float32 uniforms in [0, 1) (24-bit mantissa:
+# ---------------------------------------------------------------------------
+# RNG
+# ---------------------------------------------------------------------------
+
+_GOLDEN = -1640531527  # 0x9E3779B9 as int32
+
+
+def _fmix32(x: jnp.ndarray) -> jnp.ndarray:
+    """murmur3 finalizer (full 32-bit avalanche), int32 wrapping math."""
+    x = x ^ jax.lax.shift_right_logical(x, 16)
+    x = x * jnp.int32(-2048144789)  # 0x85EBCA6B
+    x = x ^ jax.lax.shift_right_logical(x, 13)
+    x = x * jnp.int32(-1028477387)  # 0xC2B2AE35
+    x = x ^ jax.lax.shift_right_logical(x, 16)
+    return x
+
+
+def _unit_from_bits_i32(bits: jnp.ndarray) -> jnp.ndarray:
+    """int32 random bits -> float32 uniforms in [0, 1) (23-bit mantissa:
     set exponent to 0x3f8 for [1, 2), subtract 1)."""
-    u = (pltpu.bitcast(bits, jnp.uint32) >> jnp.uint32(9)) | jnp.uint32(0x3F800000)
-    return pltpu.bitcast(u, jnp.float32) - 1.0
+    u = jax.lax.shift_right_logical(bits, 9) | jnp.int32(0x3F800000)
+    return jax.lax.bitcast_convert_type(u, jnp.float32) - 1.0
 
 
-def _make_uniform_stream(fused_rng, u_or_seed_ref, block):
-    """Per-bounce (8, B) uniform source.  External mode slices the
-    precomputed threefry rows; fused mode draws from the on-core PRNG
-    (seeded once per block; fwd/bwd kernels draw in identical order so
-    the backward replay sees the forward streams)."""
+def _make_uniform_stream(fused_rng, u_or_key_ref, orig_ref, block):
+    """Per-bounce (8, B) uniform source, draw(b_global, b_local).
+
+    External mode slices the precomputed threefry rows at the LOCAL
+    bounce offset (the caller passes only this kernel's rows).  Fused
+    mode hashes (key0, key1, global sample index, global bounce, slot)
+    with a double murmur3-fmix32 — a pure counter construction, so the
+    stream is independent of tiling/sharding/compaction and the
+    backward replay reproduces it exactly."""
     if fused_rng:
-        # prng_seed takes at most 2 words; fold the global block index
-        # into the first with a Weyl-constant mix (0x9E3779B9).
-        mix = (u_or_seed_ref[2] + pl.program_id(0)) * jnp.int32(-1640531527)
-        pltpu.prng_seed(u_or_seed_ref[0] + mix, u_or_seed_ref[1])
-        return lambda b: _unit_from_bits(pltpu.prng_random_bits((8, block)))
-    return lambda b: u_or_seed_ref[pl.ds(b * 8, 8), :]
+        k0 = u_or_key_ref[0]
+        k1 = u_or_key_ref[1]
+        orig = jnp.broadcast_to(orig_ref[:], (8, block))  # (8, B) i32
+        slot = jax.lax.broadcasted_iota(jnp.int32, (8, block), 0)
+
+        def draw(b_global, b_local):
+            ctr = b_global * 8 + slot
+            x = _fmix32((orig ^ k0) + ctr * jnp.int32(_GOLDEN))
+            x = _fmix32(x ^ k1)
+            return _unit_from_bits_i32(x)
+
+        return draw
+    return lambda b_global, b_local: u_or_key_ref[pl.ds(b_local * 8, 8), :]
+
+
+# ---------------------------------------------------------------------------
+# Mega kernels (whole bounce loop per ray block)
+# ---------------------------------------------------------------------------
 
 
 def _kernel_fwd(
@@ -485,7 +547,8 @@ def _kernel_fwd(
     p_ref,  # (3, BLOCK) ray origins
     d_ref,  # (3, BLOCK) ray dirs
     alive_ref,  # (1, BLOCK) f32 initial alive mask
-    u_ref,  # (bounces*8, BLOCK) uniforms, or (3,) SMEM PRNG seed if fused
+    orig_ref,  # (1, BLOCK) i32 global sample indices (fused RNG)
+    u_ref,  # (bounces*8, BLOCK) uniforms, or (2,) SMEM key words if fused
     pmat_ref,  # (4*Tp, 4) packed plane rows
     table_ref,  # (13|32, Tp): emission/spec/shin/face_n/kd (+vn) rows
     etab_ref,  # (17|27, nE): verts emission face_n idx p (+vn area)
@@ -495,17 +558,17 @@ def _kernel_fwd(
     rec_ref=None,  # optional out (bounces*REC_ROWS, BLOCK): HBM records
 ):
     block = p_ref.shape[1]
-    bounce, init_carry = _make_bounce(
+    bounce, init_state = _make_bounce(
         cfg_static, tp, n_emissive, no_spec,
         pmat_ref[:], table_ref[:], etab_ref[:], cdf_ref[:], block,
     )
     max_bounces = cfg_static[0]
-    draw = _make_uniform_stream(fused_rng, u_ref, block)
+    draw = _make_uniform_stream(fused_rng, u_ref, orig_ref, block)
 
     def body(b, state):
-        carry, radiance, segs, shadows = state
-        u = draw(b)  # (8, B)
-        carry, out = bounce(b, u, carry)
+        st, radiance, segs, shadows = state
+        u = draw(b, b)  # (8, B)
+        st, out = bounce(b, u, st)
         if rec_ref is not None:
             # Records variant (render_tile_pallas_rec): stream the
             # per-bounce suffix-recursion inputs to HBM so the backward
@@ -517,7 +580,7 @@ def _kernel_fwd(
             )
             rec_ref[pl.ds(b * REC_ROWS, REC_ROWS), :] = rec
         return (
-            carry,
+            st,
             radiance + out.contrib,
             segs + out.seg,
             shadows + out.shadow,
@@ -525,9 +588,9 @@ def _kernel_fwd(
 
     zero3 = jnp.zeros((3, block), dtype=jnp.float32)
     zero1 = jnp.zeros((1, block), dtype=jnp.float32)
-    carry0 = init_carry(p_ref[:], d_ref[:], alive_ref[:])
+    st0 = init_state(p_ref[:], d_ref[:], alive_ref[:])
     state = jax.lax.fori_loop(
-        0, max_bounces, body, (carry0, zero3, zero1, zero1)
+        0, max_bounces, body, (st0, zero3, zero1, zero1)
     )
     (_, radiance, segs, shadows) = state
     rad_ref[:] = radiance
@@ -545,7 +608,8 @@ def _kernel_bwd(
     d_ref,
     alive_ref,
     g_ref,  # (3, BLOCK) per-lane radiance cotangent
-    u_ref,  # uniforms or (3,) SMEM PRNG seed if fused
+    orig_ref,  # (1, BLOCK) i32
+    u_ref,  # uniforms or (2,) SMEM key words if fused
     pmat_ref,
     table_ref,
     etab_ref,
@@ -554,31 +618,35 @@ def _kernel_bwd(
     rec_ref,  # scratch (bounces*REC_ROWS, BLOCK)
 ):
     block = p_ref.shape[1]
-    bounce, init_carry = _make_bounce(
+    bounce, init_state = _make_bounce(
         cfg_static, tp, n_emissive, no_spec,
         pmat_ref[:], table_ref[:], etab_ref[:], cdf_ref[:], block,
     )
     (max_bounces, _p_rr, _min_dot, _eps, quirks) = cfg_static
-    draw = _make_uniform_stream(fused_rng, u_ref, block)
+    draw = _make_uniform_stream(fused_rng, u_ref, orig_ref, block)
 
     # Pass 1: forward replay, records to VMEM scratch (never HBM).
-    def fwd_body(b, carry):
-        u = draw(b)
-        carry, out = bounce(b, u, carry)
+    def fwd_body(b, st):
+        u = draw(b, b)
+        st, out = bounce(b, u, st)
         rec = jnp.concatenate(
             [out.f, out.c, out.nee, out.pm_in, out.coeff, out.tri_f,
              out.hit, out.esc],
             axis=0,
         )  # (REC_ROWS, B)
         rec_ref[pl.ds(b * REC_ROWS, REC_ROWS), :] = rec
-        return carry
+        return st
 
-    carry0 = init_carry(p_ref[:], d_ref[:], alive_ref[:])
-    jax.lax.fori_loop(0, max_bounces, fwd_body, carry0)
+    st0 = init_state(p_ref[:], d_ref[:], alive_ref[:])
+    jax.lax.fori_loop(0, max_bounces, fwd_body, st0)
 
     # Pass 2: reverse suffix recursion (render/diff.py steps 2-4), all in
     # VMEM.
-    dmats = _suffix_recursion(rec_ref, g_ref[:], max_bounces, quirks, tp, block)
+    zero3 = jnp.zeros((3, block), jnp.float32)
+    zero1 = jnp.zeros((1, block), jnp.float32)
+    dmats, _suf, _esc = _suffix_recursion(
+        rec_ref, g_ref[:], max_bounces, quirks, tp, block, zero3, zero1
+    )
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -587,19 +655,25 @@ def _kernel_bwd(
     dmats_ref[:] += dmats
 
 
-def _suffix_recursion(rec_ref, g, max_bounces, quirks, tp, block):
+def _suffix_recursion(rec_ref, g, n_slots, quirks, tp, block, suf0, esc0):
     """Reverse suffix recursion over per-bounce records (render/diff.py
     steps 2-4).  suffix_k is the value BEFORE incorporating bounce k;
-    the escape flag of bounce k+1 arrives via the esc_next carry.
-    rec_ref may be a VMEM scratch (replay mode, _kernel_bwd) or a
-    streamed HBM input (_kernel_reverse).  Returns dmats (3, tp)."""
+    the escape flag of bounce k+1 arrives via the esc_next carry —
+    (suf0, esc0) seed it, so a stage's recursion chains from the NEXT
+    stage's output (zeros at the last bounce).  rec_ref may be a VMEM
+    scratch (replay mode, _kernel_bwd) or a streamed HBM input
+    (_kernel_reverse / the staged reverse).  Zero-filled record slots
+    (bounces past max_bounces in a partial stage, or skipped all-dead
+    blocks) are exact no-ops: f = c = hit = esc = 0 leaves (suf, dmats)
+    unchanged and correctly zeroes esc_next for a bounce that never ran.
+    Returns (dmats (3, tp), suf (3, B), esc (1, B))."""
     iota_tf = jax.lax.broadcasted_iota(jnp.int32, (tp, block), 0).astype(
         jnp.float32
     )
 
     def rev_body(j, st):
         suf, esc_next, dmats = st
-        k = max_bounces - 1 - j
+        k = n_slots - 1 - j
         rec = rec_ref[pl.ds(k * REC_ROWS, REC_ROWS), :]
         f = rec[0:3]
         c = rec[3:6]
@@ -624,13 +698,9 @@ def _suffix_recursion(rec_ref, g, max_bounces, quirks, tp, block):
         suf = g * c + f * suf
         return (suf, esc, dmats)
 
-    init = (
-        jnp.zeros((3, block), jnp.float32),
-        jnp.zeros((1, block), jnp.float32),
-        jnp.zeros((3, tp), jnp.float32),
-    )
-    (_suf, _esc, dmats) = jax.lax.fori_loop(0, max_bounces, rev_body, init)
-    return dmats
+    init = (suf0, esc0, jnp.zeros((3, tp), jnp.float32))
+    suf, esc, dmats = jax.lax.fori_loop(0, n_slots, rev_body, init)
+    return dmats, suf, esc
 
 
 def _kernel_reverse(
@@ -648,13 +718,177 @@ def _kernel_reverse(
     fwd+bwd critical path.  Used by the fused value-and-grad pipeline
     (render/forward.py loss_and_grad_range)."""
     block = g_ref.shape[1]
-    dmats = _suffix_recursion(rec_ref, g_ref[:], max_bounces, quirks, tp, block)
+    zero3 = jnp.zeros((3, block), jnp.float32)
+    zero1 = jnp.zeros((1, block), jnp.float32)
+    dmats, _suf, _esc = _suffix_recursion(
+        rec_ref, g_ref[:], max_bounces, quirks, tp, block, zero3, zero1
+    )
 
     @pl.when(pl.program_id(0) == 0)
     def _():
         dmats_ref[:] = jnp.zeros_like(dmats_ref)
 
     dmats_ref[:] += dmats
+
+
+# ---------------------------------------------------------------------------
+# Staged-wavefront kernels
+# ---------------------------------------------------------------------------
+
+
+def _kernel_init(
+    min_dot,
+    epsilon,
+    tp,
+    # refs:
+    p_ref,  # (3, BLOCK)
+    d_ref,  # (3, BLOCK)
+    alive_ref,  # (1, BLOCK) f32
+    pmat_ref,  # (4*Tp, 4)
+    carry_ref,  # out (CARRY_ROWS, BLOCK)
+):
+    """Bounce-0 intersect -> initial lane carry.  This is init_state
+    spilled to the CARRY_ROWS layout; no extra compute vs the mega
+    kernel, whose first intersect happens in the same place."""
+    block = p_ref.shape[1]
+    geom = _make_geom(tp, pmat_ref[:], block, min_dot, epsilon)
+    _t, hit, idx_f, point = geom.intersect(p_ref[:], d_ref[:])
+    zero3 = jnp.zeros((3, block), jnp.float32)
+    zero1 = jnp.zeros((1, block), jnp.float32)
+    carry_ref[:] = jnp.concatenate(
+        [
+            d_ref[:],          # 0:3   d
+            point,             # 3:6   point
+            hit,               # 6     hit
+            idx_f,             # 7     idx
+            zero3,             # 8:11  l_e
+            zero3,             # 11:14 l_d
+            zero3 + 1.0,       # 14:17 prev_mult
+            alive_ref[:],      # 17    alive
+            zero3,             # 18:21 radiance
+            zero1,             # 21    segments
+            zero1,             # 22    shadow
+            zero1,             # 23    pad
+        ],
+        axis=0,
+    )
+
+
+def _kernel_stage(
+    cfg_static,
+    tp,
+    n_emissive,
+    fused_rng,
+    no_spec,
+    k_bounces,
+    with_rec,
+    # refs:
+    start_ref,  # SMEM (1,) i32: this stage's first global bounce
+    carry_ref,  # (CARRY_ROWS, BLOCK) lane carry in
+    orig_ref,  # (1, BLOCK) i32 global sample indices
+    u_ref,  # (k*8, BLOCK) stage uniforms, or (2,) SMEM key words if fused
+    pmat_ref,
+    table_ref,
+    etab_ref,
+    cdf_ref,
+    carry_out_ref,  # out (CARRY_ROWS, BLOCK)
+    rec_ref=None,  # optional out (k*REC_ROWS, BLOCK)
+):
+    """One compaction stage: up to k_bounces bounces for this ray block.
+
+    The while_loop exits as soon as (a) the stage's bounce budget is
+    spent, (b) the global bounce budget is spent (partial last stage),
+    or (c) EVERY lane in this block is dead — with the host-side
+    alive-first partition (render/forward.py _alive_first_order), dead
+    blocks cluster at the tail of the grid and cost ~a DMA each, so the
+    per-bounce SIMD width tracks the actual alive curve instead of the
+    worst case.  The starting bounce arrives as a traced SMEM scalar:
+    one compiled kernel serves every stage of the lax.scan."""
+    block = carry_ref.shape[1]
+    bounce, _init = _make_bounce(
+        cfg_static, tp, n_emissive, no_spec,
+        pmat_ref[:], table_ref[:], etab_ref[:], cdf_ref[:], block,
+    )
+    max_bounces = cfg_static[0]
+    draw = _make_uniform_stream(fused_rng, u_ref, orig_ref, block)
+    start = start_ref[0]
+
+    if rec_ref is not None:
+        # Zero-fill first: slots the while_loop never reaches (all-dead
+        # early exit / partial last stage) must read as exact no-ops in
+        # the suffix recursion.
+        rec_ref[:] = jnp.zeros_like(rec_ref)
+
+    c = carry_ref[:]
+    st0 = (c[0:3], c[6:7], c[7:8], c[3:6], c[8:11], c[11:14], c[14:17],
+           c[17:18])
+    rad0, seg0, shw0 = c[18:21], c[21:22], c[22:23]
+
+    def cond(state):
+        b, st, _rad, _seg, _shw = state
+        alive = st[7]
+        return (
+            (b < k_bounces)
+            & (start + b < max_bounces)
+            & (jnp.max(alive) > 0.0)
+        )
+
+    def body(state):
+        b, st, rad, seg, shw = state
+        u = draw(start + b, b)
+        st, out = bounce(start + b, u, st)
+        if rec_ref is not None:
+            rec = jnp.concatenate(
+                [out.f, out.c, out.nee, out.pm_in, out.coeff, out.tri_f,
+                 out.hit, out.esc],
+                axis=0,
+            )
+            rec_ref[pl.ds(b * REC_ROWS, REC_ROWS), :] = rec
+        return (b + 1, st, rad + out.contrib, seg + out.seg,
+                shw + out.shadow)
+
+    (_b, st, rad, seg, shw) = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), st0, rad0, seg0, shw0)
+    )
+    (d, hit, idx_f, point, l_e, l_d, pm, alive) = st
+    carry_out_ref[:] = jnp.concatenate(
+        [d, point, hit, idx_f, l_e, l_d, pm, alive, rad, seg, shw,
+         jnp.zeros((1, block), jnp.float32)],
+        axis=0,
+    )
+
+
+def _kernel_stage_reverse(
+    k_bounces,
+    quirks,
+    tp,
+    # refs:
+    g_ref,  # (3, BLOCK) radiance cotangent, stage lane order
+    rec_ref,  # (k*REC_ROWS, BLOCK) this stage's records
+    suf_ref,  # (4, BLOCK) suffix carry in: suf 0:3, esc 3
+    dmats_ref,  # out (3, Tp), accumulated across the grid
+    suf_out_ref,  # out (4, BLOCK) suffix carry toward earlier bounces
+):
+    """Suffix recursion over ONE stage's records; the (suf, esc) rows
+    chain stages together (the host re-permutes them to the previous
+    stage's lane order between calls)."""
+    block = g_ref.shape[1]
+    s = suf_ref[:]
+    dmats, suf, esc = _suffix_recursion(
+        rec_ref, g_ref[:], k_bounces, quirks, tp, block, s[0:3], s[3:4]
+    )
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dmats_ref[:] = jnp.zeros_like(dmats_ref)
+
+    dmats_ref[:] += dmats
+    suf_out_ref[:] = jnp.concatenate([suf, esc], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Host-side wrappers
+# ---------------------------------------------------------------------------
 
 
 def _pack_tables(scene, materials):
@@ -714,13 +948,24 @@ def _cfg_static(cfg):
             cfg.reference_quirks)
 
 
-def _u_spec_and_arg(cfg, uniforms, seed, ray_spec):
-    """The uniforms slot: (spec, arg, fused_rng flag).  seed is a (3,)
-    int32 array (two threefry key words + block offset) when fused."""
-    if seed is not None:
-        spec = pl.BlockSpec((3,), lambda i: (0,), memory_space=pltpu.SMEM)
-        return spec, seed, True
-    return ray_spec(cfg.max_bounces * 8), uniforms, False
+def _u_spec_and_arg(uniforms, keys, ray_spec, rows):
+    """The uniforms slot: (spec, arg, fused_rng flag).  keys is a (2,)
+    int32 array (the render key words) when fused; uniforms a
+    (rows, tile) threefry array when external."""
+    if keys is not None:
+        spec = pl.BlockSpec((2,), lambda i: (0,), memory_space=pltpu.SMEM)
+        return spec, keys, True
+    return ray_spec(rows), uniforms, False
+
+
+def _compiler_params(interpret, parallel):
+    if interpret or not parallel:
+        return None
+    # Ray blocks are independent (per-block output slices, per-block
+    # RNG streams) — let Mosaic schedule them in any order.  The
+    # backward/inverse kernels accumulate across the grid and must
+    # stay sequential.
+    return pltpu.CompilerParams(dimension_semantics=("parallel",))
 
 
 def render_tile_pallas(
@@ -733,9 +978,10 @@ def render_tile_pallas(
     uniforms: jnp.ndarray = None,  # (bounces*8, tile): 6 used + 2 pad per bounce
     block: int = 2048,
     interpret: bool = False,
-    seed: jnp.ndarray = None,  # (3,) int32: fused-RNG mode (TPU only)
+    orig: jnp.ndarray = None,  # (1, tile) i32 global sample indices
+    keys: jnp.ndarray = None,  # (2,) i32: fused hash-RNG mode
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Render one ray tile with the fused kernel.
+    """Render one ray tile with the fused megakernel.
 
     Returns (radiance (3, tile), stats (2, tile) per-lane seg/shadow
     counts).  Scenes with vertex normals are smooth-shaded in-kernel
@@ -744,13 +990,17 @@ def render_tile_pallas(
     tile = p.shape[1]
     assert tile % block == 0, (tile, block)
     tp, pmat, table, etab, cdf = _pack_tables(scene, materials)
+    if orig is None:
+        orig = jnp.zeros((1, tile), jnp.int32)
 
     grid = (tile // block,)
     ray_spec = lambda rows: pl.BlockSpec(
         (rows, block), lambda i: (0, i), memory_space=pltpu.VMEM
     )
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-    u_spec, u_arg, fused_rng = _u_spec_and_arg(cfg, uniforms, seed, ray_spec)
+    u_spec, u_arg, fused_rng = _u_spec_and_arg(
+        uniforms, keys, ray_spec, cfg.max_bounces * 8
+    )
 
     kernel = functools.partial(
         _kernel_fwd, _cfg_static(cfg), tp, n_e, fused_rng,
@@ -764,6 +1014,7 @@ def render_tile_pallas(
             ray_spec(3),
             ray_spec(3),
             ray_spec(1),
+            ray_spec(1),
             u_spec,
             full(pmat),
             full(table),
@@ -775,15 +1026,9 @@ def render_tile_pallas(
             jax.ShapeDtypeStruct((3, tile), jnp.float32),
             jax.ShapeDtypeStruct((2, tile), jnp.float32),
         ],
-        # Ray blocks are independent (per-block output slices, per-block
-        # PRNG streams) — let Mosaic schedule them in any order.  The
-        # backward/inverse kernels accumulate across the grid and must
-        # stay sequential.
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)
-        ) if not interpret else None,
+        compiler_params=_compiler_params(interpret, True),
         interpret=interpret,
-    )(p, d, alive, u_arg, pmat, table, etab, cdf)
+    )(p, d, alive, orig, u_arg, pmat, table, etab, cdf)
     return rad, stats
 
 
@@ -798,7 +1043,8 @@ def grad_tile_pallas(
     uniforms: jnp.ndarray = None,  # (bounces*8, tile)
     block: int = 2048,
     interpret: bool = False,
-    seed: jnp.ndarray = None,  # (3,) int32: fused-RNG mode (TPU only)
+    orig: jnp.ndarray = None,  # (1, tile) i32
+    keys: jnp.ndarray = None,  # (2,) i32: fused hash-RNG mode
 ) -> jnp.ndarray:
     """Material gradient (nT, 3) for one ray tile, fully fused: forward
     replay + records + suffix recursion all inside the kernel."""
@@ -807,13 +1053,17 @@ def grad_tile_pallas(
     tile = p.shape[1]
     assert tile % block == 0, (tile, block)
     tp, pmat, table, etab, cdf = _pack_tables(scene, materials)
+    if orig is None:
+        orig = jnp.zeros((1, tile), jnp.int32)
 
     grid = (tile // block,)
     ray_spec = lambda rows: pl.BlockSpec(
         (rows, block), lambda i: (0, i), memory_space=pltpu.VMEM
     )
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-    u_spec, u_arg, fused_rng = _u_spec_and_arg(cfg, uniforms, seed, ray_spec)
+    u_spec, u_arg, fused_rng = _u_spec_and_arg(
+        uniforms, keys, ray_spec, cfg.max_bounces * 8
+    )
 
     kernel = functools.partial(
         _kernel_bwd, _cfg_static(cfg), tp, n_e, fused_rng,
@@ -828,6 +1078,7 @@ def grad_tile_pallas(
             ray_spec(3),
             ray_spec(1),
             ray_spec(3),
+            ray_spec(1),
             u_spec,
             full(pmat),
             full(table),
@@ -842,7 +1093,7 @@ def grad_tile_pallas(
             pltpu.VMEM((cfg.max_bounces * REC_ROWS, block), jnp.float32)
         ],
         interpret=interpret,
-    )(p, d, alive, g, u_arg, pmat, table, etab, cdf)
+    )(p, d, alive, g, orig, u_arg, pmat, table, etab, cdf)
     return dmats[:, :n_tri].T  # (nT, 3)
 
 
@@ -856,7 +1107,8 @@ def render_tile_pallas_rec(
     uniforms: jnp.ndarray = None,
     block: int = 2048,
     interpret: bool = False,
-    seed: jnp.ndarray = None,
+    orig: jnp.ndarray = None,  # (1, tile) i32
+    keys: jnp.ndarray = None,  # (2,) i32
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Forward render that ALSO streams the per-bounce backward records
     to HBM: returns (radiance (3, tile), stats (2, tile), records
@@ -869,13 +1121,17 @@ def render_tile_pallas_rec(
     tile = p.shape[1]
     assert tile % block == 0, (tile, block)
     tp, pmat, table, etab, cdf = _pack_tables(scene, materials)
+    if orig is None:
+        orig = jnp.zeros((1, tile), jnp.int32)
 
     grid = (tile // block,)
     ray_spec = lambda rows: pl.BlockSpec(
         (rows, block), lambda i: (0, i), memory_space=pltpu.VMEM
     )
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-    u_spec, u_arg, fused_rng = _u_spec_and_arg(cfg, uniforms, seed, ray_spec)
+    u_spec, u_arg, fused_rng = _u_spec_and_arg(
+        uniforms, keys, ray_spec, cfg.max_bounces * 8
+    )
 
     kernel = functools.partial(
         _kernel_fwd, _cfg_static(cfg), tp, n_e, fused_rng,
@@ -890,6 +1146,7 @@ def render_tile_pallas_rec(
             ray_spec(3),
             ray_spec(3),
             ray_spec(1),
+            ray_spec(1),
             u_spec,
             full(pmat),
             full(table),
@@ -902,11 +1159,9 @@ def render_tile_pallas_rec(
             jax.ShapeDtypeStruct((2, tile), jnp.float32),
             jax.ShapeDtypeStruct((rec_rows, tile), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)
-        ) if not interpret else None,
+        compiler_params=_compiler_params(interpret, True),
         interpret=interpret,
-    )(p, d, alive, u_arg, pmat, table, etab, cdf)
+    )(p, d, alive, orig, u_arg, pmat, table, etab, cdf)
     return rad, stats, rec
 
 
@@ -943,3 +1198,143 @@ def reverse_tile_pallas(
         interpret=interpret,
     )(g, rec)
     return dmats[:, :n_tri].T  # (nT, 3)
+
+
+def init_tile_pallas(
+    materials: jnp.ndarray,
+    scene,
+    cfg,
+    p: jnp.ndarray,  # (3, tile)
+    d: jnp.ndarray,  # (3, tile)
+    alive: jnp.ndarray,  # (1, tile) f32
+    block: int = 2048,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Staged wavefront step 0: bounce-0 intersect -> (CARRY_ROWS, tile)
+    lane carry."""
+    tile = p.shape[1]
+    assert tile % block == 0, (tile, block)
+    tp, pmat, _table, _etab, _cdf = _pack_tables(scene, materials)
+
+    grid = (tile // block,)
+    ray_spec = lambda rows: pl.BlockSpec(
+        (rows, block), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    kernel = functools.partial(_kernel_init, cfg.min_dot, cfg.epsilon, tp)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[ray_spec(3), ray_spec(3), ray_spec(1), full(pmat)],
+        out_specs=ray_spec(CARRY_ROWS),
+        out_shape=jax.ShapeDtypeStruct((CARRY_ROWS, tile), jnp.float32),
+        compiler_params=_compiler_params(interpret, True),
+        interpret=interpret,
+    )(p, d, alive, pmat)
+
+
+def stage_tile_pallas(
+    materials: jnp.ndarray,
+    scene,
+    cfg,
+    carry: jnp.ndarray,  # (CARRY_ROWS, tile), alive-first partitioned
+    orig: jnp.ndarray,  # (1, tile) i32 global sample indices
+    start_bounce: jnp.ndarray,  # () or (1,) i32, traced
+    k_bounces: int,
+    uniforms: jnp.ndarray = None,  # (k*8, tile) this stage's rows
+    block: int = 2048,
+    interpret: bool = False,
+    keys: jnp.ndarray = None,  # (2,) i32: fused hash-RNG mode
+    with_rec: bool = False,
+):
+    """Run one compaction stage (<= k_bounces bounces) over the tile.
+
+    Returns carry_out (CARRY_ROWS, tile), or (carry_out, records
+    (k*REC_ROWS, tile)) when with_rec."""
+    n_e = scene.emissive_idx.shape[0]
+    tile = carry.shape[1]
+    assert tile % block == 0, (tile, block)
+    tp, pmat, table, etab, cdf = _pack_tables(scene, materials)
+    start = jnp.asarray(start_bounce, jnp.int32).reshape((1,))
+
+    grid = (tile // block,)
+    ray_spec = lambda rows: pl.BlockSpec(
+        (rows, block), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    smem1 = pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM)
+    u_spec, u_arg, fused_rng = _u_spec_and_arg(
+        uniforms, keys, ray_spec, k_bounces * 8
+    )
+
+    kernel = functools.partial(
+        _kernel_stage, _cfg_static(cfg), tp, n_e, fused_rng,
+        scene.specular_idx.shape[0] == 0, k_bounces, with_rec,
+    )
+    out_specs = [ray_spec(CARRY_ROWS)]
+    out_shape = [jax.ShapeDtypeStruct((CARRY_ROWS, tile), jnp.float32)]
+    if with_rec:
+        out_specs.append(ray_spec(k_bounces * REC_ROWS))
+        out_shape.append(
+            jax.ShapeDtypeStruct((k_bounces * REC_ROWS, tile), jnp.float32)
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            smem1,
+            ray_spec(CARRY_ROWS),
+            ray_spec(1),
+            u_spec,
+            full(pmat),
+            full(table),
+            full(etab),
+            full(cdf),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=_compiler_params(interpret, True),
+        interpret=interpret,
+    )(start, carry, orig, u_arg, pmat, table, etab, cdf)
+    return (out[0], out[1]) if with_rec else out[0]
+
+
+def stage_reverse_tile_pallas(
+    n_tri: int,
+    cfg,
+    k_bounces: int,
+    rec: jnp.ndarray,  # (k*REC_ROWS, tile), stage lane order
+    g: jnp.ndarray,  # (3, tile) radiance cotangent, stage lane order
+    suf: jnp.ndarray,  # (4, tile) suffix carry from the later stage
+    block: int = 2048,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Suffix recursion over one stage's records.  Returns
+    (dmats (nT, 3) partial material cotangent, suf_out (4, tile))."""
+    tile = g.shape[1]
+    assert tile % block == 0, (tile, block)
+    tp = _round_up(max(n_tri, 8), 8)
+
+    grid = (tile // block,)
+    ray_spec = lambda rows: pl.BlockSpec(
+        (rows, block), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(
+        _kernel_stage_reverse, k_bounces, cfg.reference_quirks, tp
+    )
+    dmats, suf_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[ray_spec(3), ray_spec(k_bounces * REC_ROWS), ray_spec(4)],
+        out_specs=[
+            pl.BlockSpec((3, tp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ray_spec(4),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, tp), jnp.float32),
+            jax.ShapeDtypeStruct((4, tile), jnp.float32),
+        ],
+        interpret=interpret,
+    )(g, rec, suf)
+    return dmats[:, :n_tri].T, suf_out

@@ -437,24 +437,40 @@ def _pallas_uniforms(tkey: jax.Array, cfg: RenderConfig, n: int) -> jnp.ndarray:
 
 
 def _pallas_fused_rng(cfg: RenderConfig, interpret: bool) -> bool:
-    """Whether the kernels should draw uniforms from the on-core PRNG.
-    Requires a real TPU (the interpreter has no PRNG lowering) and the
-    fused backward (grad_mode="custom"): the XLA records replay of
-    grad_mode="records" can only reproduce external threefry streams."""
-    return (
-        cfg.rng in ("auto", "fused")
-        and cfg.grad_mode == "custom"
-        and not interpret
-    )
+    """Whether the render kernels should draw uniforms from the in-kernel
+    counter-hash RNG (ops/pallas/render_kernel.py _make_uniform_stream).
+    Requires the fused backward (grad_mode="custom"): the XLA records
+    replay of grad_mode="records" can only reproduce external threefry
+    streams.  cfg.rng="auto" enables it on a real TPU only (so the CPU
+    test suite keeps exercising the external bit-parity mode by
+    default); "fused" forces it anywhere, including the interpreter —
+    the hash RNG, unlike the stateful pltpu PRNG it replaced, lowers
+    under interpret, so fused-mode gradients are FD-checked on CPU in
+    tests/test_pallas.py, not just on hardware."""
+    if cfg.grad_mode != "custom":
+        return False
+    if cfg.rng == "fused":
+        return True
+    return cfg.rng == "auto" and not interpret
 
 
 def _pallas_seed(tkey: jax.Array) -> jnp.ndarray:
     """(3,) int32 PRNG seed for one tile: the two threefry key words
     (already folded with the GLOBAL tile index, so N-chip == 1-chip)
-    plus a zero slot the kernel offsets with its grid block index."""
+    plus a zero slot the kernel offsets with its grid block index.
+    Used by the inverse kernel (ops/pallas/inverse_kernel.py)."""
     kd = jax.random.key_data(tkey).reshape(-1)[:2]
     kd32 = jax.lax.bitcast_convert_type(kd.astype(jnp.uint32), jnp.int32)
     return jnp.concatenate([kd32, jnp.zeros((1,), jnp.int32)])
+
+
+def _pallas_keys(key: jax.Array) -> jnp.ndarray:
+    """(2,) int32 render-key words for the fused counter-hash RNG: the
+    per-(sample, bounce, slot) streams they seed are pure functions of
+    the GLOBAL sample index, so renders are bit-identical under any
+    tiling, sharding, or lane compaction."""
+    kd = jax.random.key_data(key).reshape(-1)[:2]
+    return jax.lax.bitcast_convert_type(kd.astype(jnp.uint32), jnp.int32)
 
 
 def _pallas_block(scene: SceneData, tile: int, records: bool = False) -> int:
@@ -496,6 +512,8 @@ def _render_range_pallas_impl(
     start: jnp.ndarray,
     count: int,
 ) -> Tuple[jnp.ndarray, RenderStats]:
+    if _use_staged(cfg):
+        return _render_range_staged_impl(materials, scene, key, cfg, start, count)
     from inverse_path_tracer_tpu.ops.pallas.render_kernel import render_tile_pallas
 
     tile = min(cfg.tile_size, count)
@@ -510,7 +528,6 @@ def _render_range_pallas_impl(
         tkey = jax.random.fold_in(key, tile_start // tile)
         p, d = camera_rays(scene, cfg, tkey, idx)
         uniforms = None if fused_rng else _pallas_uniforms(tkey, cfg, tile)
-        seed = _pallas_seed(tkey) if fused_rng else None
         rad, st = render_tile_pallas(
             materials,
             scene,
@@ -521,7 +538,8 @@ def _render_range_pallas_impl(
             uniforms,
             block=block,
             interpret=interpret,
-            seed=seed,
+            orig=idx[None, :],
+            keys=_pallas_keys(key) if fused_rng else None,
         )
         return rad.T, jnp.sum(st[0]), jnp.sum(st[1])
 
@@ -529,6 +547,228 @@ def _render_range_pallas_impl(
     vals, segs, shadows = jax.lax.map(tile_fn, starts)
     stats = RenderStats(segments=jnp.sum(segs), shadow_rays=jnp.sum(shadows))
     return vals.reshape(-1, 3)[: count], stats
+
+
+def _use_staged(cfg: RenderConfig) -> bool:
+    """Wavefront organisation for the Pallas backend: the staged
+    compaction pipeline ("auto"/"staged") or the single megakernel
+    ("mega", the bit-parity oracle for the staged path in tests)."""
+    return cfg.wavefront != "mega"
+
+
+def _stage_plan(cfg: RenderConfig) -> Tuple[int, int]:
+    """(bounces per stage, number of stages)."""
+    k = max(1, min(cfg.stage_bounces, cfg.max_bounces))
+    return k, -(-cfg.max_bounces // k)
+
+
+def _alive_first_order(alive: jnp.ndarray) -> jnp.ndarray:
+    """Stable partition permutation: order (tile,) i32 with alive lanes
+    first, relative order preserved on both sides.  new[j] =
+    old[order[j]].  Cumsum + scatter — O(n), far cheaper on TPU than a
+    sort, and deterministic."""
+    a = (alive > 0).astype(jnp.int32)
+    n = alive.shape[0]
+    ca = jnp.cumsum(a)
+    pos = jnp.where(a > 0, ca - 1, ca[-1] + jnp.cumsum(1 - a) - 1)
+    return jnp.zeros((n,), jnp.int32).at[pos].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+
+
+# Staged-carry row indices (ops/pallas/render_kernel.py CARRY_ROWS).
+_CAR_ALIVE, _CAR_RAD, _CAR_SEG, _CAR_SHW = 17, slice(18, 21), 21, 22
+
+
+def _staged_tile_fwd(
+    materials: jnp.ndarray,
+    scene: SceneData,
+    cfg: RenderConfig,
+    key: jax.Array,
+    tile_start: jnp.ndarray,
+    tile: int,
+    block: int,
+    interpret: bool,
+    fused_rng: bool,
+    with_rec: bool,
+):
+    """Staged-compaction forward pass over one ray tile.
+
+    The bounce loop runs as ceil(max_bounces / stage_bounces) stage
+    kernels (ONE compiled kernel — the starting bounce is traced);
+    between stages the 24-row lane carry is stable-partitioned so alive
+    lanes pack into the leading ray blocks and each block's in-kernel
+    while_loop exits once all its lanes are dead.  Per-lane arithmetic
+    is identical to the megakernel (dead-lane slots contribute exact
+    +0.0), so in rng="external" mode the per-sample radiance is
+    BIT-IDENTICAL to the megakernel and float-comparable to the XLA
+    oracle — asserted in tests/test_pallas.py.
+
+    Returns (radiance (3, tile) in sample-local order, segments,
+    shadows, ys) where ys = (records (S, k*REC_ROWS, tile), orders
+    (S, tile), origs (S, tile)) when with_rec (for the staged suffix
+    recursion) else None."""
+    from inverse_path_tracer_tpu.ops.pallas.render_kernel import (
+        init_tile_pallas,
+        stage_tile_pallas,
+    )
+
+    k, n_stages = _stage_plan(cfg)
+    idx = tile_start + jnp.arange(tile, dtype=jnp.int32)
+    in_range = idx < cfg.n_samples
+    tkey = jax.random.fold_in(key, tile_start // tile)
+    p, d = camera_rays(scene, cfg, tkey, idx)
+    carry0 = init_tile_pallas(
+        materials, scene, cfg, p.T, d.T,
+        in_range.astype(jnp.float32)[None, :], block=block,
+        interpret=interpret,
+    )
+    keys = _pallas_keys(key) if fused_rng else None
+    if fused_rng:
+        uniforms = None
+    else:
+        uniforms = _pallas_uniforms(tkey, cfg, tile)
+        # Pad to whole stages so the partial-last-stage dynamic slice
+        # stays in bounds without shifting row <-> bounce alignment.
+        pad_rows = n_stages * k * 8 - uniforms.shape[0]
+        if pad_rows:
+            uniforms = jnp.concatenate(
+                [uniforms, jnp.zeros((pad_rows, tile), uniforms.dtype)], axis=0
+            )
+
+    def stage_body(st, s):
+        carry, orig = st
+        order = _alive_first_order(carry[_CAR_ALIVE])
+        carry = carry[:, order]
+        orig = orig[order]
+        u_s = None
+        if uniforms is not None:
+            rows = jax.lax.dynamic_slice(
+                uniforms, (s * (k * 8), jnp.int32(0)), (k * 8, tile)
+            )
+            u_s = rows[:, orig - tile_start]
+        out = stage_tile_pallas(
+            materials, scene, cfg, carry, orig[None, :], s * k, k,
+            uniforms=u_s, block=block, interpret=interpret, keys=keys,
+            with_rec=with_rec,
+        )
+        if with_rec:
+            carry, rec = out
+            return (carry, orig), (rec, order, orig)
+        return (out, orig), None
+
+    (carry, orig), ys = jax.lax.scan(
+        stage_body, (carry0, idx), jnp.arange(n_stages, dtype=jnp.int32)
+    )
+    local = orig - tile_start
+    rad = jnp.zeros((3, tile), jnp.float32).at[:, local].set(carry[_CAR_RAD])
+    return rad, jnp.sum(carry[_CAR_SEG]), jnp.sum(carry[_CAR_SHW]), ys
+
+
+def _render_range_staged_impl(
+    materials: jnp.ndarray,
+    scene: SceneData,
+    key: jax.Array,
+    cfg: RenderConfig,
+    start: jnp.ndarray,
+    count: int,
+) -> Tuple[jnp.ndarray, RenderStats]:
+    tile = min(cfg.tile_size, count)
+    n_tiles = -(-count // tile)
+    block = _pallas_block(scene, tile)
+    interpret = jax.default_backend() != "tpu"
+    fused_rng = _pallas_fused_rng(cfg, interpret)
+
+    def tile_fn(tile_start):
+        rad, segs, shadows, _ = _staged_tile_fwd(
+            materials, scene, cfg, key, tile_start, tile, block, interpret,
+            fused_rng, with_rec=False,
+        )
+        return rad.T, segs, shadows
+
+    starts = start + jnp.arange(n_tiles, dtype=jnp.int32) * tile
+    vals, segs, shadows = jax.lax.map(tile_fn, starts)
+    stats = RenderStats(segments=jnp.sum(segs), shadow_rays=jnp.sum(shadows))
+    return vals.reshape(-1, 3)[: count], stats
+
+
+def _staged_tile_reverse(
+    n_tri: int,
+    cfg: RenderConfig,
+    g: jnp.ndarray,  # (3, tile) radiance cotangent, sample-local order
+    ys,  # (records, orders, origs) stacked over stages
+    tile_start: jnp.ndarray,
+    block: int,
+    interpret: bool,
+) -> jnp.ndarray:
+    """Staged suffix recursion (reverse bounce order): one
+    stage_reverse kernel per stage, the (suf, esc) rows re-permuted to
+    the previous stage's lane order between calls.  Returns the (nT, 3)
+    material cotangent for the tile."""
+    from inverse_path_tracer_tpu.ops.pallas.render_kernel import (
+        stage_reverse_tile_pallas,
+    )
+
+    k, _ = _stage_plan(cfg)
+    tile = g.shape[1]
+
+    def rev_body(carry, xs):
+        suf, dm = carry
+        rec_s, order_s, orig_s = xs
+        g_s = g[:, orig_s - tile_start]
+        dmp, suf_out = stage_reverse_tile_pallas(
+            n_tri, cfg, k, rec_s, g_s, suf, block=block, interpret=interpret
+        )
+        # Back to the PREVIOUS stage's lane order: stage-s lane j was
+        # stage-(s-1) lane order_s[j].
+        suf_prev = jnp.zeros_like(suf).at[:, order_s].set(suf_out)
+        return (suf_prev, dm + dmp), None
+
+    init = (
+        jnp.zeros((4, tile), jnp.float32),
+        jnp.zeros((n_tri, 3), jnp.float32),
+    )
+    (_suf, dmats), _ = jax.lax.scan(rev_body, init, ys, reverse=True)
+    return dmats
+
+
+def _grad_range_staged(
+    materials: jnp.ndarray,
+    scene: SceneData,
+    key: jax.Array,
+    cfg: RenderConfig,
+    start: jnp.ndarray,
+    count: int,
+    g_vals: jnp.ndarray,
+) -> jnp.ndarray:
+    """Material gradient via staged replay + staged suffix recursion:
+    per tile, re-run the forward stages (deterministic — the alive
+    pattern is independent of the materials) streaming per-stage records
+    to HBM, then chain the reverse kernels backward through the stage
+    permutations."""
+    tile = min(cfg.tile_size, count)
+    n_tiles = -(-count // tile)
+    block = _pallas_block(scene, tile, records=True)
+    interpret = jax.default_backend() != "tpu"
+    fused_rng = _pallas_fused_rng(cfg, interpret)
+    n_tri = scene.vertices.shape[0]
+    g_pad = jnp.concatenate(
+        [g_vals, jnp.zeros((n_tiles * tile - count, 3), g_vals.dtype)], axis=0
+    ).reshape(n_tiles, tile, 3)
+
+    def tile_fn(args):
+        tile_start, g_tile = args
+        _rad, _s, _sh, ys = _staged_tile_fwd(
+            materials, scene, cfg, key, tile_start, tile, block, interpret,
+            fused_rng, with_rec=True,
+        )
+        return _staged_tile_reverse(
+            n_tri, cfg, g_tile.T, ys, tile_start, block, interpret
+        )
+
+    starts = start + jnp.arange(n_tiles, dtype=jnp.int32) * tile
+    grads = jax.lax.map(tile_fn, (starts, g_pad))
+    return jnp.sum(grads, axis=0)
 
 
 def _grad_range_pallas(
@@ -545,6 +785,10 @@ def _grad_range_pallas(
     primary rays and uniforms exactly as the forward pass did, then one
     kernel replays the bounce loop with records in VMEM and returns the
     (nT, 3) cotangent — no HBM records traffic, no XLA replay."""
+    if _use_staged(cfg):
+        return _grad_range_staged(
+            materials, scene, key, cfg, start, count, g_vals
+        )
     from inverse_path_tracer_tpu.ops.pallas.render_kernel import grad_tile_pallas
 
     tile = min(cfg.tile_size, count)
@@ -563,7 +807,6 @@ def _grad_range_pallas(
         tkey = jax.random.fold_in(key, tile_start // tile)
         p, d = camera_rays(scene, cfg, tkey, idx)
         uniforms = None if fused_rng else _pallas_uniforms(tkey, cfg, tile)
-        seed = _pallas_seed(tkey) if fused_rng else None
         return grad_tile_pallas(
             materials,
             scene,
@@ -575,7 +818,8 @@ def _grad_range_pallas(
             uniforms,
             block=block,
             interpret=interpret,
-            seed=seed,
+            orig=idx[None, :],
+            keys=_pallas_keys(key) if fused_rng else None,
         )
 
     starts = start + jnp.arange(n_tiles, dtype=jnp.int32) * tile
@@ -642,15 +886,26 @@ def loss_and_grad_range(
     block = _pallas_block(scene, tile, records=True)
     interpret = jax.default_backend() != "tpu"
     fused_rng = _pallas_fused_rng(cfg, interpret)
+    staged = _use_staged(cfg)
 
     def tile_fn(carry, tile_start):
         loss, dmats, segs, shadows = carry
+        if staged:
+            rad, sg, sh, ys = _staged_tile_fwd(
+                materials, scene, cfg, key, tile_start, tile, block,
+                interpret, fused_rng, with_rec=True,
+            )
+            lt, vjp = jax.vjp(lambda r: tile_post(r.T, tile_start), rad)
+            (g,) = vjp(jnp.ones_like(lt))
+            dm = _staged_tile_reverse(
+                n_tri, cfg, g, ys, tile_start, block, interpret
+            )
+            return (loss + lt, dmats + dm, segs + sg, shadows + sh), None
         idx = tile_start + jnp.arange(tile, dtype=jnp.int32)
         in_range = idx < cfg.n_samples
         tkey = jax.random.fold_in(key, tile_start // tile)
         p, d = camera_rays(scene, cfg, tkey, idx)
         uniforms = None if fused_rng else _pallas_uniforms(tkey, cfg, tile)
-        seed = _pallas_seed(tkey) if fused_rng else None
         rad, st, rec = render_tile_pallas_rec(
             materials,
             scene,
@@ -661,7 +916,8 @@ def loss_and_grad_range(
             uniforms,
             block=block,
             interpret=interpret,
-            seed=seed,
+            orig=idx[None, :],
+            keys=_pallas_keys(key) if fused_rng else None,
         )
         lt, vjp = jax.vjp(lambda r: tile_post(r.T, tile_start), rad)
         (g,) = vjp(jnp.ones_like(lt))
