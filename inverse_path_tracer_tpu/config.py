@@ -108,17 +108,20 @@ class RenderConfig:
     #                gradients off-hardware).
     rng: str = "auto"
     # Pallas bounce-loop organisation:
-    #   "auto"/"staged" — staged compaction wavefront: the bounce loop
-    #                runs in stages of `stage_bounces`; between stages
-    #                the lane carry is stable-partitioned alive-first so
-    #                dead lanes cluster into trailing ray blocks, whose
-    #                in-kernel while_loop exits immediately.  Work per
-    #                bounce tracks the ACTUAL alive curve (Russian
-    #                roulette + escapes kill most lanes early) instead
-    #                of paying max_bounces full-SIMD slots per ray.
-    #   "mega"     — the whole bounce loop in one kernel per ray block;
-    #                zero orchestration overhead, maximal dead work.
-    #                Kept as the bit-parity oracle for the staged path.
+    #   "auto"/"mega" — the whole bounce loop in one kernel per ray
+    #                block; zero orchestration overhead, maximal dead
+    #                work.  This is the shipped path (291.6M rays/s on
+    #                v5e at 512x512/64spp/16b).
+    #   "staged"   — EXPERIMENT (explicit opt-in): staged compaction
+    #                wavefront — the bounce loop runs in stages of
+    #                `stage_bounces`; between stages the lane carry is
+    #                stable-partitioned alive-first so dead lanes
+    #                cluster into trailing ray blocks, whose in-kernel
+    #                while_loop exits immediately.  As measured it LOSES
+    #                to "mega" (54.6M rays/s: the host-side lane
+    #                re-permutation outweighs the dead-lane savings);
+    #                kept as a quarantined ablation with bit-parity
+    #                tests, not a production path.
     wavefront: str = "auto"
     # Bounces per compaction stage (staged wavefront only): smaller
     # tracks the alive decay tighter but pays more partition/launch

@@ -62,7 +62,8 @@ def _kernel_inv(
     d_ref,  # (3, BLOCK) ray dirs
     alive_ref,  # (1, BLOCK) f32 initial alive mask
     pix_ref,  # (3, BLOCK) observed pixel color per lane
-    u_ref,  # (bounces*8, BLOCK) uniforms, or (3,) SMEM PRNG seed if fused
+    orig_ref,  # (1, BLOCK) i32 global sample indices (fused RNG)
+    u_ref,  # (bounces*8, BLOCK) uniforms, or (2,) SMEM key words if fused
     pmat_ref,  # (4*Tp, 4) packed plane rows
     table_ref,  # (13|32, Tp) — face normals at rows 7:10 (+vn rows)
     etab_ref,  # (17|27, nE)
@@ -77,7 +78,7 @@ def _kernel_inv(
     etab = etab_ref[:]
     cdf = cdf_ref[:]
     pix = pix_ref[:]
-    draw = _make_uniform_stream(fused_rng, u_ref, block)
+    draw = _make_uniform_stream(fused_rng, u_ref, orig_ref, block)
     iota_d = jax.lax.broadcasted_iota(jnp.int32, (tpd, block), 0).astype(
         jnp.float32
     )
@@ -114,11 +115,14 @@ def _kernel_inv(
 
     def body(b, state):
         (isect, w, dst_f, alive, acc) = state
-        u = draw(b)
-        t_best, hit, sel, idx_f, point = isect
+        u = draw(b, b)
+        t_best, hit, idx_f, point = isect
         act = alive
         hit_act = act * hit  # hit is f32 0/1 (see render_kernel._finish)
         src_f = idx_f  # (1,B) argmin index, masked to 0 on miss
+        # One-hot selection rebuilt from the carried hit index
+        # (render_kernel._make_bounce does the same).
+        sel = ((geom.iota_tf == idx_f) & (hit > 0)).astype(jnp.float32)
         hv = jnp.dot(table, sel, preferred_element_type=jnp.float32)
         face_n = hv[7:10]
         if has_vn:
@@ -231,7 +235,8 @@ def inverse_tile_pallas(
     uniforms: jnp.ndarray = None,  # (bounces*8, tile)
     block: int = 2048,
     interpret: bool = False,
-    seed: jnp.ndarray = None,  # (3,) int32: fused-RNG mode (TPU only)
+    orig: jnp.ndarray = None,  # (1, tile) i32 global sample indices
+    keys: jnp.ndarray = None,  # (2,) i32: fused hash-RNG mode
 ) -> jnp.ndarray:
     """Transport-grid accumulation for one ray tile.
 
@@ -245,13 +250,17 @@ def inverse_tile_pallas(
     assert tile % block == 0, (tile, block)
     tp, pmat, table, etab, cdf = _pack_tables(scene, scene.diffuse)
     tpd = _round_up(n_tri + 1, 8)
+    if orig is None:
+        orig = jnp.zeros((1, tile), jnp.int32)
 
     grid = (tile // block,)
     ray_spec = lambda rows: pl.BlockSpec(
         (rows, block), lambda i: (0, i), memory_space=pltpu.VMEM
     )
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-    u_spec, u_arg, fused_rng = _u_spec_and_arg(cfg, uniforms, seed, ray_spec)
+    u_spec, u_arg, fused_rng = _u_spec_and_arg(
+        uniforms, keys, ray_spec, cfg.max_bounces * 8
+    )
 
     kernel = functools.partial(
         _kernel_inv, (cfg.max_bounces, cfg.p_rr, cfg.min_dot, cfg.epsilon,
@@ -267,6 +276,7 @@ def inverse_tile_pallas(
             ray_spec(3),
             ray_spec(1),
             ray_spec(3),
+            ray_spec(1),
             u_spec,
             full(pmat),
             full(table),
@@ -278,7 +288,7 @@ def inverse_tile_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((tpd, N_QUANT * tp), jnp.float32),
         interpret=interpret,
-    )(p, d, alive, pix, u_arg, pmat, table, etab, cdf)
+    )(p, d, alive, pix, orig, u_arg, pmat, table, etab, cdf)
     return acc
 
 

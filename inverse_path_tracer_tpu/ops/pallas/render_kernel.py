@@ -521,11 +521,19 @@ def _make_uniform_stream(fused_rng, u_or_key_ref, orig_ref, block):
         k1 = u_or_key_ref[1]
         orig = jnp.broadcast_to(orig_ref[:], (8, block))  # (8, B) i32
         slot = jax.lax.broadcasted_iota(jnp.int32, (8, block), 0)
+        # Avalanche the sample index BEFORE the counter is added: with
+        # the (orig ^ k0) + ctr*GOLDEN pre-hash, any two samples whose
+        # masked indices differ by d*GOLDEN had fully slot-shift-
+        # correlated streams (input collision ahead of both mixes).
+        # Hashing orig first makes such collisions require
+        # fmix32(orig2^k0) == fmix32(orig1^k0) + d*GOLDEN, which no
+        # index relation induces.  Loop-invariant, so hoisted out of
+        # the bounce loop.
+        h_orig = _fmix32(orig ^ k0)
 
         def draw(b_global, b_local):
             ctr = b_global * 8 + slot
-            x = _fmix32((orig ^ k0) + ctr * jnp.int32(_GOLDEN))
-            x = _fmix32(x ^ k1)
+            x = _fmix32((h_orig + ctr * jnp.int32(_GOLDEN)) ^ k1)
             return _unit_from_bits_i32(x)
 
         return draw

@@ -447,21 +447,19 @@ def _pallas_fused_rng(cfg: RenderConfig, interpret: bool) -> bool:
     the hash RNG, unlike the stateful pltpu PRNG it replaced, lowers
     under interpret, so fused-mode gradients are FD-checked on CPU in
     tests/test_pallas.py, not just on hardware."""
+    if cfg.rng not in ("auto", "external", "fused"):
+        raise ValueError(f"unknown cfg.rng {cfg.rng!r}")
     if cfg.grad_mode != "custom":
+        if cfg.rng == "fused":
+            raise ValueError(
+                "rng='fused' requires grad_mode='custom': the XLA records "
+                "replay (grad_mode='records') can only reproduce external "
+                "threefry uniform streams."
+            )
         return False
     if cfg.rng == "fused":
         return True
     return cfg.rng == "auto" and not interpret
-
-
-def _pallas_seed(tkey: jax.Array) -> jnp.ndarray:
-    """(3,) int32 PRNG seed for one tile: the two threefry key words
-    (already folded with the GLOBAL tile index, so N-chip == 1-chip)
-    plus a zero slot the kernel offsets with its grid block index.
-    Used by the inverse kernel (ops/pallas/inverse_kernel.py)."""
-    kd = jax.random.key_data(tkey).reshape(-1)[:2]
-    kd32 = jax.lax.bitcast_convert_type(kd.astype(jnp.uint32), jnp.int32)
-    return jnp.concatenate([kd32, jnp.zeros((1,), jnp.int32)])
 
 
 def _pallas_keys(key: jax.Array) -> jnp.ndarray:
@@ -550,10 +548,18 @@ def _render_range_pallas_impl(
 
 
 def _use_staged(cfg: RenderConfig) -> bool:
-    """Wavefront organisation for the Pallas backend: the staged
-    compaction pipeline ("auto"/"staged") or the single megakernel
-    ("mega", the bit-parity oracle for the staged path in tests)."""
-    return cfg.wavefront != "mega"
+    """Wavefront organisation for the Pallas backend.  "auto" resolves
+    to the single megakernel: the staged compaction pipeline is an
+    explicit opt-in experiment — as measured on v5e it LOSES to the
+    megakernel (54.6M vs 291.6M rays/s at 512x512/64spp/16b; the
+    host-side lane re-permutation between stages costs more than the
+    dead-lane work it skips — see BASELINE.md)."""
+    if cfg.wavefront not in ("auto", "mega", "staged"):
+        raise ValueError(
+            f"unknown cfg.wavefront {cfg.wavefront!r}: "
+            "expected 'auto', 'mega', or 'staged'"
+        )
+    return cfg.wavefront == "staged"
 
 
 def _stage_plan(cfg: RenderConfig) -> Tuple[int, int]:
@@ -675,7 +681,11 @@ def _render_range_staged_impl(
 ) -> Tuple[jnp.ndarray, RenderStats]:
     tile = min(cfg.tile_size, count)
     n_tiles = -(-count // tile)
-    block = _pallas_block(scene, tile)
+    # The stage kernel's working set carries 2x(CARRY_ROWS, block) in/out
+    # on top of the intersect temporaries; the mega-kernel block (8192 at
+    # the reference scene) exceeds scoped VMEM, so use the records-size
+    # budget (block 4096 — compiles and runs on v5e).
+    block = _pallas_block(scene, tile, records=True)
     interpret = jax.default_backend() != "tpu"
     fused_rng = _pallas_fused_rng(cfg, interpret)
 

@@ -274,17 +274,19 @@ def _trace_transport_range_pallas(
         grids_from_acc,
         inverse_tile_pallas,
     )
-    from inverse_path_tracer_tpu.render.forward import _pallas_seed
+    from inverse_path_tracer_tpu.render.forward import _pallas_block, _pallas_keys
 
     n_tri = scene.n_tri
     target_flat = target_image01.reshape(-1, 3)
     tile = min(cfg.tile_size, count)
     n_tiles = -(-count // tile)
-    from inverse_path_tracer_tpu.render.forward import _pallas_block
 
     block = _pallas_block(scene, tile)
     interpret = jax.default_backend() != "tpu"
-    fused_rng = cfg.rng in ("auto", "fused") and not interpret
+    # Fused counter-hash RNG (pure function of the global sample index,
+    # so N-chip grids == 1-chip grids); "fused" forces it anywhere incl.
+    # the CPU interpreter, "auto" only on real TPUs.
+    fused_rng = cfg.rng == "fused" or (cfg.rng == "auto" and not interpret)
 
     def tile_fn(tile_start):
         idx = tile_start + jnp.arange(tile, dtype=jnp.int32)
@@ -294,7 +296,6 @@ def _trace_transport_range_pallas(
         pix_idx = jnp.clip(idx // cfg.spp, 0, cfg.width * cfg.height - 1)
         pixel_colors = target_flat[pix_idx]
         uniforms = None if fused_rng else _inv_uniforms(tkey, cfg, tile)
-        seed = _pallas_seed(tkey) if fused_rng else None
         return inverse_tile_pallas(
             scene,
             cfg,
@@ -305,7 +306,8 @@ def _trace_transport_range_pallas(
             uniforms,
             block=block,
             interpret=interpret,
-            seed=seed,
+            orig=idx[None, :],
+            keys=_pallas_keys(key) if fused_rng else None,
         )
 
     starts = start + jnp.arange(n_tiles, dtype=jnp.int32) * tile
