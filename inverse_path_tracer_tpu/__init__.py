@@ -22,6 +22,19 @@ Design stance (TPU-first, not a port):
     scene/materials replicated, gradients/transport grids psum-reduced.
 """
 
+import jax as _jax
+
+# f32 numerics are part of the behavioral contract: the reference is an
+# f32 CUDA renderer, and on TPU the MXU's DEFAULT matmul precision is a
+# single bf16 pass — that quantizes the learnable materials (table
+# lookups are one-hot matmuls) and the plane-test geometry to ~3 decimal
+# digits, visibly shifting renders (~0.8% in image loss, measured on
+# v5e) and corrupting finite-difference gradient checks (the +-eps
+# perturbation lands across bf16 quantization steps).  Everything this
+# package traces therefore defaults to full-f32 matmuls; the hand-written
+# Pallas kernels additionally pin precision=HIGHEST explicitly.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from inverse_path_tracer_tpu.config import RenderConfig
 from inverse_path_tracer_tpu.scene.build import SceneData, load_scene, build_scene
 from inverse_path_tracer_tpu.render.forward import (

@@ -35,6 +35,11 @@ def _cfg_from_args(args):
         p_rr=args.p_rr,
         reference_quirks=not args.no_quirks,
         backend=args.backend,
+        wavefront=args.wavefront,
+        rng=args.rng,
+        grad_mode=args.grad_mode,
+        intersect=args.intersect,
+        stage_bounces=args.stage_bounces,
     )
 
 
@@ -70,6 +75,20 @@ def _add_render_args(p: argparse.ArgumentParser, width=512, height=512, spp=64):
     p.add_argument("--backend", default="auto",
                    choices=("auto", "xla", "pallas"),
                    help="auto = fused Pallas kernels on TPU, XLA elsewhere")
+    p.add_argument("--wavefront", default="auto",
+                   choices=("auto", "mega", "staged"),
+                   help="Pallas bounce-loop organisation (auto = mega)")
+    p.add_argument("--rng", default="auto",
+                   choices=("auto", "external", "fused"),
+                   help="kernel uniform source (auto = fused hash RNG on TPU)")
+    p.add_argument("--grad-mode", dest="grad_mode", default="custom",
+                   choices=("custom", "records", "ad"),
+                   help="material-gradient strategy (see config.py)")
+    p.add_argument("--intersect", default="auto",
+                   choices=("auto", "brute", "bvh"),
+                   help="XLA-path intersection strategy")
+    p.add_argument("--stage-bounces", dest="stage_bounces", type=int, default=2,
+                   help="bounces per compaction stage (wavefront=staged)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--asset-root", default="/root/reference")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")

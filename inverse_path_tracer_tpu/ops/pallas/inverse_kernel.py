@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from inverse_path_tracer_tpu.ops.pallas.render_kernel import (
+    GEO,
     PI,
     _make_geom,
     _make_uniform_stream,
@@ -65,7 +66,7 @@ def _kernel_inv(
     orig_ref,  # (1, BLOCK) i32 global sample indices (fused RNG)
     u_ref,  # (bounces*8, BLOCK) uniforms, or (2,) SMEM key words if fused
     pmat_ref,  # (4*Tp, 4) packed plane rows
-    table_ref,  # (13|32, Tp) — face normals at rows 7:10 (+vn rows)
+    table_ref,  # (16|35, Tp) — face normals at rows 7:10 (+vn rows)
     etab_ref,  # (17|27, nE)
     cdf_ref,  # (nE, 1)
     acc_ref,  # out (tpd, N_QUANT*Tp), accumulated across the grid
@@ -74,7 +75,7 @@ def _kernel_inv(
     block = p_ref.shape[1]
     geom = _make_geom(tp, pmat_ref[:], block, min_dot, epsilon)
     table = table_ref[:]
-    has_vn = table.shape[0] > 13  # static: 32 rows iff vertex normals
+    has_vn = table.shape[0] > 16  # static: 35 rows iff vertex normals
     etab = etab_ref[:]
     cdf = cdf_ref[:]
     pix = pix_ref[:]
@@ -104,9 +105,14 @@ def _kernel_inv(
             ],
             axis=0,
         )  # (Q*Tp, B)
+        # DEFAULT precision (explicit — None would inherit the global
+        # 'highest'): the payload is material-independent
+        # (weights/pixels/counts), one-hot factors are exact in bf16,
+        # and the f32 operand-split of HIGHEST pushes this kernel's
+        # scoped VMEM to 25.9M (> 16M limit) at the production block.
         return jax.lax.dot_general(
             dst_oh, payload, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=GEO,
         )
 
     ones_row = geom.ones_row
@@ -123,7 +129,9 @@ def _kernel_inv(
         # One-hot selection rebuilt from the carried hit index
         # (render_kernel._make_bounce does the same).
         sel = ((geom.iota_tf == idx_f) & (hit > 0)).astype(jnp.float32)
-        hv = jnp.dot(table, sel, preferred_element_type=jnp.float32)
+        # The inverse pass never reads Kd (factors are 1 and 1/pi) —
+        # pure geometry lookup, GEO.
+        hv = jnp.dot(table, sel, preferred_element_type=jnp.float32, precision=GEO)
         face_n = hv[7:10]
         if has_vn:
             # Smooth shading normal (inv_path_trace.cu:54,144 use
@@ -164,7 +172,7 @@ def _kernel_inv(
             any_m = jnp.max(m, axis=0, keepdims=True) > 0
             eidx = jnp.where(any_m, eidx, n_emissive - 1)
             e_onehot = (iota_e == eidx).astype(jnp.float32)
-            row = jnp.dot(etab, e_onehot, preferred_element_type=jnp.float32)
+            row = jnp.dot(etab, e_onehot, preferred_element_type=jnp.float32, precision=GEO)
             sq = jnp.sqrt(u[2:3])
             r2c = u[3:4]
             emm_point = (

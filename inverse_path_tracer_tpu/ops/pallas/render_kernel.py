@@ -33,7 +33,7 @@ instead of the 30->128 lane padding a (R, T) layout would pay.  The four
 per-triangle plane tests (hit plane + 3 edge planes) are packed into a
 single (4*Tp, 4) x (4, 2*BLOCK) MXU matmul per intersect — origins and
 directions share the rhs — instead of eight K=4 dispatches.  Hit-value
-lookup is one (13,Tp)x(Tp,BLOCK) matmul against a one-hot selection
+lookup is one (16,Tp)x(Tp,BLOCK) matmul against a one-hot selection
 rebuilt from the carried hit index (ties resolve to the lowest triangle
 index — the reference's scan order).
 
@@ -76,6 +76,40 @@ import jax
 import jax.numpy as jnp
 
 PI = 3.141592653589793
+
+# Precision policy (measured on v5e, 512x512/64spp/16b):
+#
+# The MXU's DEFAULT precision rounds both matmul operands to bf16 (one
+# pass).  Left uncorrected, that quantizes the learnable Kd to ~3
+# decimal digits — it halves directional gradients and turns
+# finite-difference checks into noise (ratio 0.04 at the bench config).
+# But running every dot at Precision.HIGHEST (6 f32 passes) costs 2.56x
+# forward throughput (294M -> 115M rays/s), a 22-minute Mosaic compile,
+# and tips the inverse kernel over scoped VMEM (25.9M > 16M).
+#
+# The shipped policy exploits two structural facts instead:
+#
+#   * GEOMETRY is material-INDEPENDENT: its bf16 quantization is a fixed
+#     deterministic perturbation shared by the forward eval, both FD
+#     evals, and the backward replay — gradients remain exactly
+#     self-consistent, and the ~0.2% hit-point wobble is far below the
+#     Monte-Carlo noise the golden bounds budget for.  All geometry dots
+#     (intersects, emissive-table lookups, edge-grid contractions) run
+#     at one-pass GEO precision.
+#   * The one-hot selection operand is EXACT in bf16, so every
+#     material-carrying product can be made f32-exact by hi/lo
+#     splitting the OTHER operand: Kd ships in the table as a
+#     bf16-exact hi row-triple plus a lo remainder (see _pack_tables),
+#     and the backward cotangent contraction splits ct the same way —
+#     two one-pass dots instead of six passes over everything.
+#
+# Validated on hardware: bench.py grad_fd ratio 1.005, golden mean
+# 3.7/255 (BENCH_r03).
+#
+# GEO is an explicit DEFAULT (not None): the package __init__ raises the
+# GLOBAL default to 'highest' for the XLA oracle paths, so None here
+# would silently inherit the 6-pass mode.
+GEO = jax.lax.Precision.DEFAULT
 
 # Rows per bounce in the backward records scratch (8-aligned so the
 # dynamic sublane slices are legal for Mosaic): f(3) c(3) nee(3) pm(3)
@@ -176,7 +210,7 @@ def _make_geom(tp, pmat, block, min_dot, epsilon) -> _Geom:
         p4 = jnp.concatenate([p, ones_row], axis=0)  # (4, B)
         d4 = jnp.concatenate([d, zeros_row], axis=0)
         pd4 = jnp.concatenate([p4, d4], axis=1)  # (4, 2B)
-        ab = jnp.dot(pmat, pd4, preferred_element_type=jnp.float32)  # (4Tp, 2B)
+        ab = jnp.dot(pmat, pd4, preferred_element_type=jnp.float32, precision=GEO)  # (4Tp, 2B)
         return _finish(ab[:, :block], ab[:, block:], p, d)
 
     def intersect_pair(p, d1, d2):
@@ -192,7 +226,7 @@ def _make_geom(tp, pmat, block, min_dot, epsilon) -> _Geom:
         d14 = jnp.concatenate([d1, zeros_row], axis=0)
         d24 = jnp.concatenate([d2, zeros_row], axis=0)
         pdd = jnp.concatenate([p4, d14, d24], axis=1)  # (4, 3B)
-        ab = jnp.dot(pmat, pdd, preferred_element_type=jnp.float32)
+        ab = jnp.dot(pmat, pdd, preferred_element_type=jnp.float32, precision=GEO)
         a = ab[:, :block]
         t1, hit1, idx1_f, _p1 = _finish(a, ab[:, block : 2 * block], p, d1)
         nxt = _finish(a, ab[:, 2 * block :], p, d2)
@@ -300,7 +334,7 @@ def _make_bounce(cfg_static, tp, n_emissive, no_spec, pmat, table, etab, cdf,
     (Triangle::getNormal), while direction sampling still rotates around
     the FACE normal (path_trace.cu:134 uses tri->normal)."""
     (max_bounces, p_rr, min_dot, epsilon, quirks) = cfg_static
-    has_vn = table.shape[0] > 13  # static: 32 rows iff vertex normals
+    has_vn = table.shape[0] > 16  # static: 35 rows iff vertex normals
     geom = _make_geom(tp, pmat, block, min_dot, epsilon)
     intersect = geom.intersect
     intersect_pair = geom.intersect_pair
@@ -326,12 +360,16 @@ def _make_bounce(cfg_static, tp, n_emissive, no_spec, pmat, table, etab, cdf,
         # resolved by _finish's argmin).
         sel = ((iota_tf == idx_f) & (hit > 0)).astype(jnp.float32)  # (Tp,B)
 
-        hv = jnp.dot(table, sel, preferred_element_type=jnp.float32)  # (13|32, B)
+        # GEO (one bf16 pass) is exact for every consumer: the one-hot
+        # column is exact, geometry rows are self-consistent fixed
+        # perturbations, and the learnable Kd is reconstructed exactly
+        # from its hi (rows 10:13) + lo (last 3 rows) bf16 split.
+        hv = jnp.dot(table, sel, preferred_element_type=jnp.float32, precision=GEO)  # (16|35, B)
         emission = hv[0:3]
         mat_spec = hv[3:6]
         mat_shin = hv[6:7]
         face_n = hv[7:10]
-        kd = hv[10:13]
+        kd = hv[10:13] + hv[-3:]
         if has_vn:
             shade_n = smooth_at(point, hv[13:22], hv[22:31], hv[31:32])
         else:
@@ -381,7 +419,8 @@ def _make_bounce(cfg_static, tp, n_emissive, no_spec, pmat, table, etab, cdf,
             any_m = jnp.max(m, axis=0, keepdims=True) > 0
             eidx = jnp.where(any_m, eidx, n_emissive - 1)
             e_onehot = (iota_e == eidx).astype(jnp.float32)
-            row = jnp.dot(etab, e_onehot, preferred_element_type=jnp.float32)
+            # etab is material-independent (emissive geometry): GEO.
+            row = jnp.dot(etab, e_onehot, preferred_element_type=jnp.float32, precision=GEO)
             sq = jnp.sqrt(u[1:2])
             r2c = u[2:3]
             emm_point = (
@@ -558,7 +597,7 @@ def _kernel_fwd(
     orig_ref,  # (1, BLOCK) i32 global sample indices (fused RNG)
     u_ref,  # (bounces*8, BLOCK) uniforms, or (2,) SMEM key words if fused
     pmat_ref,  # (4*Tp, 4) packed plane rows
-    table_ref,  # (13|32, Tp): emission/spec/shin/face_n/kd (+vn) rows
+    table_ref,  # (16|35, Tp): emission/spec/shin/face_n/kd_hi (+vn) + kd_lo rows
     etab_ref,  # (17|27, nE): verts emission face_n idx p (+vn area)
     cdf_ref,  # (nE, 1)
     rad_ref,  # out (3, BLOCK)
@@ -699,9 +738,19 @@ def _suffix_recursion(rec_ref, g, n_slots, quirks, tp, block, suf0, esc0):
             # Stale l_d re-added on escape at k+1 uses bounce k's kd.
             ct = ct + jnp.where(esc_next > 0, g * (pm * f) * nee, 0.0)
         onehot = ((iota_tf == tri_f) & (hit > 0)).astype(jnp.float32)  # (Tp,B)
+        # The cotangent contraction must not quantize the gradient: split
+        # ct into a bf16-exact hi part + lo remainder and contract each
+        # at one-pass precision (onehot is exact in bf16), reconstructing
+        # the f32 product at 2/6 the cost of a HIGHEST dot.
+        ct_hi = ct.astype(jnp.bfloat16).astype(jnp.float32)
+        ct_lo = ct - ct_hi
+        dims = (((1,), (1,)), ((), ()))
         dmats = dmats + jax.lax.dot_general(
-            ct, onehot, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            ct_hi, onehot, dims,
+            preferred_element_type=jnp.float32, precision=GEO,
+        ) + jax.lax.dot_general(
+            ct_lo, onehot, dims,
+            preferred_element_type=jnp.float32, precision=GEO,
         )  # (3, Tp)
         suf = g * c + f * suf
         return (suf, esc, dmats)
@@ -902,12 +951,21 @@ def _kernel_stage_reverse(
 def _pack_tables(scene, materials):
     """Padded device tables shared by both kernels.
 
-    Returns (tp, pmat (4*Tp,4), table (13|32,Tp), etab (17|27,nE),
+    Returns (tp, pmat (4*Tp,4), table (16|35,Tp), etab (17|27,nE),
     cdf (nE,1)).  Padded triangles have an all-zero plane row, so
     |b0| < min_dot rejects them in every intersect; padded table columns
     are zero.  Scenes with vertex normals get 19 extra table rows
     (verts 13:22, vn 22:31, area 31:32) and 10 extra emissive rows
-    (vn 17:26, area 26:27) for in-kernel smooth shading."""
+    (vn 17:26, area 26:27) for in-kernel smooth shading.
+
+    Learnable-material exactness at single-pass matmul cost: the MXU's
+    default precision rounds lhs/rhs to bf16, which would quantize the
+    Kd the gradients differentiate (see the precision-policy note at the
+    top of this file).  The one-hot selection column is EXACT in bf16,
+    so splitting Kd into a bf16-exact hi part (rows 10:13) plus a tiny
+    lo remainder (the LAST 3 rows) and summing the two looked-up rows
+    reconstructs f32 Kd exactly — two extra one-pass rows instead of
+    six passes over the whole table."""
     n_tri = scene.vertices.shape[0]
     tp = _round_up(max(n_tri, 8), 8)
     planes = scene.plane_mat.reshape(4, n_tri, 4).transpose(2, 1, 0)  # (pl,tri,co)
@@ -916,12 +974,14 @@ def _pack_tables(scene, materials):
         [jnp.concatenate([planes[j], pad], axis=0) for j in range(4)], axis=0
     )  # (4*Tp, 4)
     has_vn = scene.vertex_normals.shape[1] != 0
+    kd_hi = materials.astype(jnp.bfloat16).astype(jnp.float32)
+    kd_lo = materials - kd_hi
     cols = [
         scene.emission,
         scene.specular,
         scene.shininess[:, None],
         scene.face_normal,
-        materials,
+        kd_hi,
     ]
     if has_vn:
         cols += [
@@ -929,7 +989,8 @@ def _pack_tables(scene, materials):
             scene.vertex_normals.reshape(n_tri, 9),
             scene.area[:, None],
         ]
-    table = jnp.concatenate(cols, axis=1).T  # (13|32, nT)
+    cols.append(kd_lo)  # always the last 3 rows
+    table = jnp.concatenate(cols, axis=1).T  # (16|35, nT)
     table = jnp.concatenate(
         [table, jnp.zeros((table.shape[0], tp - n_tri), jnp.float32)], axis=1
     )

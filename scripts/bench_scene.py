@@ -58,6 +58,8 @@ def main():
     bounces = int(os.environ.get("BENCH_BOUNCES", 16))
     tile = int(os.environ.get("BENCH_TILE", 1 << 16))
     backend = os.environ.get("BENCH_BACKEND", "pallas")
+    wavefront = os.environ.get("BENCH_WAVEFRONT", "auto")
+    rng = os.environ.get("BENCH_RNG", "auto")
 
     log(f"devices: {jax.devices()}")
     if name == "sphere":
@@ -66,10 +68,10 @@ def main():
         scene = load_scene(f"{REF}/scenes/0.txt", asset_root=REF)
     cfg = RenderConfig(
         width=width, height=height, spp=spp, max_bounces=bounces,
-        tile_size=tile, backend=backend,
+        tile_size=tile, backend=backend, wavefront=wavefront, rng=rng,
     )
     log(f"scene={name} nT={scene.vertices.shape[0]} vn={scene.vertex_normals.shape[1] != 0} "
-        f"{width}x{height} {spp}spp {bounces}b tile={tile} backend={backend}")
+        f"{width}x{height} {spp}spp {bounces}b tile={tile} backend={backend} wavefront={wavefront}")
 
     @jax.jit
     def run(mats, key):

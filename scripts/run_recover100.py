@@ -1,0 +1,142 @@
+"""BASELINE.json config #5, single-host: batched gradient recovery over
+ALL 100 reference scenes (reference's own scenes/*.txt — the reference
+generates these 100 scenes in ipt_cuda.py:115-134 but never recovers
+them; this run beats it at its own scale).
+
+Phases (each timed into artifacts/exp100/metrics.json "recover100"):
+  1. render the 100 target images at RES^2 / SPP spp with the true
+     materials (our renderer; one cached jit, TPU);
+  2. batched recovery: per-scene theta (100, nT, 3), one compiled device
+     program per optimizer step, checkpoint every 25 steps
+     (runs/recover100/ckpt.npz — resumable);
+  3. report mean |Kd err| vs the scene files' true Kd, write sample
+     recovered re-renders to artifacts/exp100/recover100_*.png.
+
+Usage: timeout 5400 python scripts/run_recover100.py [--steps 200]
+Knobs: R100_RES (256), R100_SPP (64), R100_STEPS, R100_SCENES (100).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from inverse_path_tracer_tpu.config import RenderConfig
+from inverse_path_tracer_tpu.scene.build import load_scene
+from inverse_path_tracer_tpu.render.forward import render_to_png
+from inverse_path_tracer_tpu.data.pipeline import load_image01
+
+REF = "/root/reference"
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RUN = os.path.join(ROOT, "runs", "recover100")
+ART = os.path.join(ROOT, "artifacts", "exp100")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int,
+                    default=int(os.environ.get("R100_STEPS", 200)))
+    args = ap.parse_args()
+    res = int(os.environ.get("R100_RES", 256))
+    spp = int(os.environ.get("R100_SPP", 64))
+    n = int(os.environ.get("R100_SCENES", 100))
+    cfg = RenderConfig(width=res, height=res, spp=spp, max_bounces=16,
+                       tile_size=1 << 16)
+    os.makedirs(RUN, exist_ok=True)
+    log(f"devices: {jax.devices()}; {n} scenes at {res}x{res}/{spp}spp, "
+        f"{args.steps} steps")
+
+    metrics = {"config": {"n": n, "res": res, "spp": spp,
+                          "steps": args.steps,
+                          "devices": [str(d) for d in jax.devices()]}}
+
+    # --- Phase 1: targets ---
+    t0 = time.time()
+    key = jax.random.PRNGKey(100)
+    scenes = []
+    for i in range(n):
+        p = os.path.join(RUN, f"{i}.png")
+        scene = load_scene(os.path.join(REF, "scenes", f"{i}.txt"),
+                           asset_root=REF)
+        scenes.append(scene)
+        if not os.path.exists(p):
+            render_to_png(scene.diffuse, scene, jax.random.fold_in(key, i),
+                          cfg, p)
+        if i % 20 == 0:
+            log(f"target {i} done ({time.time()-t0:.0f}s)")
+    metrics["targets_wall_s"] = round(time.time() - t0, 1)
+    log(f"targets: {metrics['targets_wall_s']}s")
+
+    # --- Phase 2: batched recovery ---
+    from inverse_path_tracer_tpu.models.recover import recover_materials_batched
+
+    targets = jnp.stack([load_image01(os.path.join(RUN, f"{i}.png"))
+                         for i in range(n)])
+    labels = np.stack([np.asarray(s.diffuse) for s in scenes])
+    t0 = time.time()
+    losses_path = os.path.join(RUN, "losses.jsonl")
+    lf = open(losses_path, "a")
+
+    def log_fn(s, l):
+        if s % 10 == 0:
+            log(f"step {s}: loss {l:.6f} ({time.time()-t0:.0f}s)")
+        lf.write(json.dumps({"step": s, "loss": l}) + "\n")
+        lf.flush()
+
+    mats, losses = recover_materials_batched(
+        scenes[0], targets, cfg, steps=args.steps, lr=5e-2,
+        key=jax.random.PRNGKey(0), log_fn=log_fn,
+        checkpoint_path=os.path.join(RUN, "ckpt.npz"), checkpoint_every=25,
+        resume=True,
+    )
+    lf.close()
+    metrics["recover_wall_s"] = round(time.time() - t0, 1)
+    mats_np = np.asarray(mats)
+    np.save(os.path.join(RUN, "recovered.npy"), mats_np)
+
+    err = np.abs(mats_np - labels)
+    # The cube triangles (the learnable unknowns; Cornell Kd is shared
+    # across scenes) are the last 12.
+    err_cube = err[:, 18:, :]
+    metrics["mean_kd_err"] = float(err.mean())
+    metrics["mean_kd_err_cube"] = float(err_cube.mean())
+    metrics["max_scene_err"] = float(err.mean(axis=(1, 2)).max())
+    metrics["final_loss"] = losses[-1] if losses else None
+    log(f"recover: {metrics['recover_wall_s']}s, mean |Kd err| "
+        f"{metrics['mean_kd_err']:.4f} (cube {metrics['mean_kd_err_cube']:.4f})")
+
+    # --- Phase 3: sample re-renders ---
+    t0 = time.time()
+    for i in (0, 50, 99):
+        render_to_png(jnp.asarray(mats_np[i]), scenes[i],
+                      jax.random.fold_in(key, 10_000 + i), cfg,
+                      os.path.join(ART, f"recover100_{i}_pred.png"))
+        render_to_png(scenes[i].diffuse, scenes[i],
+                      jax.random.fold_in(key, 10_000 + i), cfg,
+                      os.path.join(ART, f"recover100_{i}_true.png"))
+    metrics["rerender_wall_s"] = round(time.time() - t0, 1)
+
+    # Merge into the exp100 metrics file.
+    mpath = os.path.join(ART, "metrics.json")
+    with open(mpath) as f:
+        all_m = json.load(f)
+    all_m["recover100"] = metrics
+    with open(mpath, "w") as f:
+        json.dump(all_m, f, indent=1)
+    print(json.dumps(metrics), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -128,13 +128,13 @@ def main():
 
     vn_scene = build_scene(
         [
-            ObjectParams(shape=2, pos=(0, 0, 4), ori=(0, 0, 0), scl=(2, 2, 2),
-                         obj="CornellBox/CornellBox-Empty-CO.obj",
-                         mtl="CornellBox/CornellBox-Empty-CO.mtl"),
-            ObjectParams(shape=1, pos=(0, -1, 4), ori=(0, 0, 0), scl=(1, 1, 1),
-                         obj="shapes/sphere.obj", mtl="*Kd 0.5 0.5 0.5*"),
-        ],
-        asset_root=REF,
+            ObjectParams(pos=(0, 0, 4), scl=(2, 2, 2),
+                         obj_file=f"{REF}/CornellBox/CornellBox-Empty-CO.obj",
+                         mtl_file=f"{REF}/CornellBox/CornellBox-Empty-CO.mtl"),
+            ObjectParams(pos=(0, -1.5, 4),
+                         obj_file=f"{REF}/shapes/sphere.obj",
+                         mtl_file="*Kd 0.5 0.5 0.5*"),
+        ]
     )
 
     results = {}

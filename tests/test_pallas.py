@@ -262,3 +262,21 @@ def test_pallas_specular_scene_matches_xla(tmp_path):
     g_x = jax.grad(lambda m: loss(m, cfg))(scene.diffuse)
     g_p = jax.grad(lambda m: loss(m, cfg.with_(backend="pallas")))(scene.diffuse)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=2e-4, atol=1e-7)
+
+
+def test_config_validation_errors(cornell_scene):
+    """ADVICE r2: unknown wavefront values and the rng='fused' +
+    grad_mode='records' combination raise instead of silently picking a
+    different code path."""
+    key = jax.random.PRNGKey(9)
+    bad_wf = CFG.with_(backend="pallas", wavefront="msga")
+    with pytest.raises(ValueError, match="wavefront"):
+        render_samples(cornell_scene.diffuse, cornell_scene, key, bad_wf)
+    bad_rng = CFG.with_(backend="pallas", rng="fused", grad_mode="records")
+    with pytest.raises(ValueError, match="records"):
+        render_samples(cornell_scene.diffuse, cornell_scene, key, bad_rng)
+    with pytest.raises(ValueError, match="rng"):
+        render_samples(
+            cornell_scene.diffuse, cornell_scene, key,
+            CFG.with_(backend="pallas", rng="fussed"),
+        )
