@@ -471,7 +471,9 @@ def _pallas_keys(key: jax.Array) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(kd.astype(jnp.uint32), jnp.int32)
 
 
-def _pallas_block(scene: SceneData, tile: int, records: bool = False) -> int:
+def _pallas_block(
+    scene: SceneData, tile: int, records: bool = False, u_rows: int = 0
+) -> int:
     """Ray-block width for the fused kernels.  The dominant VMEM
     temporaries scale with Tp*block (the packed intersect planes are
     (4*Tp, 2*block)), so larger scenes shrink the block to hold the
@@ -479,10 +481,19 @@ def _pallas_block(scene: SceneData, tile: int, records: bool = False) -> int:
     forward/inverse kernels (block 8192 at the reference Tp=32 — 25.3
     vs 27.9 ms/tile at 4096 on v5e), and 2^17 for the backward kernel,
     whose (bounces*REC_ROWS, block) records scratch exceeds VMEM at
-    8192."""
+    8192.
+
+    u_rows: extra per-lane VMEM rows the kernel streams alongside the
+    carry — the external-RNG uniforms block (bounces*8 rows; zero in
+    fused mode).  At 16 bounces the (128, 8192) uniforms slice alone is
+    4.2 MB and tips the forward kernel over scoped VMEM (found by
+    scripts/smoke_tpu.py on hardware — the fused-RNG default had always
+    masked it), so the block budget caps u_rows*block at 2^19 lanes."""
     tp = max(8, -(-scene.vertices.shape[0] // 8) * 8)
     cap = 1 << (17 if records else 18)
     budget = max(128, cap // tp)
+    if u_rows:
+        budget = min(budget, max(128, (1 << 19) // u_rows))
     block = 128
     while block * 2 <= min(cap >> 5, budget):
         block *= 2
@@ -516,9 +527,11 @@ def _render_range_pallas_impl(
 
     tile = min(cfg.tile_size, count)
     n_tiles = -(-count // tile)
-    block = _pallas_block(scene, tile)
     interpret = jax.default_backend() != "tpu"
     fused_rng = _pallas_fused_rng(cfg, interpret)
+    block = _pallas_block(
+        scene, tile, u_rows=0 if fused_rng else cfg.max_bounces * 8
+    )
 
     def tile_fn(tile_start):
         idx = tile_start + jnp.arange(tile, dtype=jnp.int32)
@@ -681,13 +694,16 @@ def _render_range_staged_impl(
 ) -> Tuple[jnp.ndarray, RenderStats]:
     tile = min(cfg.tile_size, count)
     n_tiles = -(-count // tile)
+    interpret = jax.default_backend() != "tpu"
+    fused_rng = _pallas_fused_rng(cfg, interpret)
     # The stage kernel's working set carries 2x(CARRY_ROWS, block) in/out
     # on top of the intersect temporaries; the mega-kernel block (8192 at
     # the reference scene) exceeds scoped VMEM, so use the records-size
     # budget (block 4096 — compiles and runs on v5e).
-    block = _pallas_block(scene, tile, records=True)
-    interpret = jax.default_backend() != "tpu"
-    fused_rng = _pallas_fused_rng(cfg, interpret)
+    k, _n_stages = _stage_plan(cfg)
+    block = _pallas_block(
+        scene, tile, records=True, u_rows=0 if fused_rng else k * 8
+    )
 
     def tile_fn(tile_start):
         rad, segs, shadows, _ = _staged_tile_fwd(
@@ -758,9 +774,12 @@ def _grad_range_staged(
     permutations."""
     tile = min(cfg.tile_size, count)
     n_tiles = -(-count // tile)
-    block = _pallas_block(scene, tile, records=True)
     interpret = jax.default_backend() != "tpu"
     fused_rng = _pallas_fused_rng(cfg, interpret)
+    k, _n_stages = _stage_plan(cfg)
+    block = _pallas_block(
+        scene, tile, records=True, u_rows=0 if fused_rng else k * 8
+    )
     n_tri = scene.vertices.shape[0]
     g_pad = jnp.concatenate(
         [g_vals, jnp.zeros((n_tiles * tile - count, 3), g_vals.dtype)], axis=0
@@ -803,9 +822,12 @@ def _grad_range_pallas(
 
     tile = min(cfg.tile_size, count)
     n_tiles = -(-count // tile)
-    block = _pallas_block(scene, tile, records=True)
     interpret = jax.default_backend() != "tpu"
     fused_rng = _pallas_fused_rng(cfg, interpret)
+    block = _pallas_block(
+        scene, tile, records=True,
+        u_rows=0 if fused_rng else cfg.max_bounces * 8,
+    )
     g_pad = jnp.concatenate(
         [g_vals, jnp.zeros((n_tiles * tile - count, 3), g_vals.dtype)], axis=0
     ).reshape(n_tiles, tile, 3)
@@ -893,10 +915,14 @@ def loss_and_grad_range(
     )
 
     n_tri = scene.vertices.shape[0]
-    block = _pallas_block(scene, tile, records=True)
     interpret = jax.default_backend() != "tpu"
     fused_rng = _pallas_fused_rng(cfg, interpret)
     staged = _use_staged(cfg)
+    k, _n_stages = _stage_plan(cfg)
+    block = _pallas_block(
+        scene, tile, records=True,
+        u_rows=0 if fused_rng else (k if staged else cfg.max_bounces) * 8,
+    )
 
     def tile_fn(carry, tile_start):
         loss, dmats, segs, shadows = carry

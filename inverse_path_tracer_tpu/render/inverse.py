@@ -281,12 +281,14 @@ def _trace_transport_range_pallas(
     tile = min(cfg.tile_size, count)
     n_tiles = -(-count // tile)
 
-    block = _pallas_block(scene, tile)
     interpret = jax.default_backend() != "tpu"
     # Fused counter-hash RNG (pure function of the global sample index,
     # so N-chip grids == 1-chip grids); "fused" forces it anywhere incl.
     # the CPU interpreter, "auto" only on real TPUs.
     fused_rng = cfg.rng == "fused" or (cfg.rng == "auto" and not interpret)
+    block = _pallas_block(
+        scene, tile, u_rows=0 if fused_rng else cfg.max_bounces * 8
+    )
 
     def tile_fn(tile_start):
         idx = tile_start + jnp.arange(tile, dtype=jnp.int32)
