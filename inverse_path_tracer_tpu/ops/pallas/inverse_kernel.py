@@ -58,6 +58,7 @@ def _kernel_inv(
     n_tri,
     n_emissive,
     fused_rng,
+    cluster_k,
     # refs:
     p_ref,  # (3, BLOCK) ray origins
     d_ref,  # (3, BLOCK) ray dirs
@@ -66,6 +67,7 @@ def _kernel_inv(
     orig_ref,  # (1, BLOCK) i32 global sample indices (fused RNG)
     u_ref,  # (bounces*8, BLOCK) uniforms, or (2,) SMEM key words if fused
     pmat_ref,  # (4*Tp, 4) packed plane rows
+    cab_ref,  # (8, C) cluster AABBs ((8, 1) dummy when cluster_k == 0)
     table_ref,  # (16|35, Tp) — face normals at rows 7:10 (+vn rows)
     etab_ref,  # (17|27, nE)
     cdf_ref,  # (nE, 1)
@@ -73,7 +75,8 @@ def _kernel_inv(
 ):
     (max_bounces, p_rr, min_dot, epsilon, _quirks) = cfg_static
     block = p_ref.shape[1]
-    geom = _make_geom(tp, pmat_ref[:], block, min_dot, epsilon)
+    geom = _make_geom(tp, pmat_ref[:], block, min_dot, epsilon,
+                      cab=cab_ref[:], cluster_k=cluster_k)
     table = table_ref[:]
     has_vn = table.shape[0] > 16  # static: 35 rows iff vertex normals
     etab = etab_ref[:]
@@ -256,7 +259,7 @@ def inverse_tile_pallas(
     n_e = scene.emissive_idx.shape[0]
     tile = p.shape[1]
     assert tile % block == 0, (tile, block)
-    tp, pmat, table, etab, cdf = _pack_tables(scene, scene.diffuse)
+    tp, pmat, table, etab, cdf, cab, ck = _pack_tables(scene, scene.diffuse)
     tpd = _round_up(n_tri + 1, 8)
     if orig is None:
         orig = jnp.zeros((1, tile), jnp.int32)
@@ -273,7 +276,7 @@ def inverse_tile_pallas(
     kernel = functools.partial(
         _kernel_inv, (cfg.max_bounces, cfg.p_rr, cfg.min_dot, cfg.epsilon,
                       cfg.reference_quirks),
-        tp, tpd, n_tri, n_e, fused_rng,
+        tp, tpd, n_tri, n_e, fused_rng, ck,
     )
 
     acc = pl.pallas_call(
@@ -287,6 +290,7 @@ def inverse_tile_pallas(
             ray_spec(1),
             u_spec,
             full(pmat),
+            full(cab),
             full(table),
             full(etab),
             full(cdf),
@@ -296,7 +300,7 @@ def inverse_tile_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((tpd, N_QUANT * tp), jnp.float32),
         interpret=interpret,
-    )(p, d, alive, pix, orig, u_arg, pmat, table, etab, cdf)
+    )(p, d, alive, pix, orig, u_arg, pmat, cab, table, etab, cdf)
     return acc
 
 

@@ -121,6 +121,15 @@ REC_ROWS = 16
 # alive 17, radiance 18:21, segments 21, shadow 22, pad 23.
 CARRY_ROWS = 24
 
+# Cluster-chunked sweep (large scenes): contiguous-index clusters of
+# CLUSTER_K triangles, enabled when the padded triangle count reaches
+# CLUSTER_MIN_TP.  Contiguity preserves global triangle indices (the
+# behavioral contract — they appear in transport graphs and materials),
+# and mesh files emit spatially coherent triangle runs, so contiguous
+# clusters get tight AABBs without any reordering.
+CLUSTER_K = 128
+CLUSTER_MIN_TP = 512
+
 # pl is imported lazily so CPU-only environments without pallas work.
 try:
     from jax.experimental import pallas as pl
@@ -170,11 +179,33 @@ class _Geom(NamedTuple):
     zeros_row: jnp.ndarray
 
 
-def _make_geom(tp, pmat, block, min_dot, epsilon) -> _Geom:
+def _make_geom(tp, pmat, block, min_dot, epsilon, cab=None, cluster_k=0) -> _Geom:
     ones_row = jnp.ones((1, block), dtype=jnp.float32)
     zeros_row = jnp.zeros((1, block), dtype=jnp.float32)
     iota_t = jax.lax.broadcasted_iota(jnp.int32, (tp, block), 0)
     iota_tf = iota_t.astype(jnp.float32)
+    n_clusters = tp // cluster_k if cluster_k else 0
+
+    def _t_masked_rows(a, bb, k):
+        """Per-triangle plane resolution over k rows: t where the plane
+        test + 3 edge signed-distance tests pass, +inf elsewhere."""
+        a0 = a[0:k]
+        b0 = bb[0:k]
+        t = a0 / (-b0)
+        inside = (jnp.abs(b0) >= min_dot) & (t >= epsilon)
+        for j in (1, 2, 3):
+            sd = a[j * k : (j + 1) * k] + t * bb[j * k : (j + 1) * k]
+            inside = inside & (sd <= 0.0)
+        return jnp.where(inside, t, jnp.inf)
+
+    def _resolve(t_best, idx_raw_f, p, d):
+        hit = jnp.isfinite(t_best)
+        idx_f = jnp.where(hit, idx_raw_f, 0.0)
+        t_safe = jnp.where(hit, t_best, 0.0)
+        point = p + d * t_safe
+        # hit as f32 0/1: the tuple is carried across the bounce loop
+        # and Mosaic cannot legalize boolean vectors in loop carries.
+        return t_best, hit.astype(jnp.float32), idx_f, point
 
     def _finish(a, bb, p, d):
         """Closest-hit resolution from the projected plane values:
@@ -182,23 +213,105 @@ def _make_geom(tp, pmat, block, min_dot, epsilon) -> _Geom:
         bb = direction·planes.  Returns (t_best (1,B), hit (1,B) f32
         0/1, idx_f (1,B) f32 hit index masked to 0 on miss,
         point (3,B))."""
-        a0 = a[0:tp]
-        b0 = bb[0:tp]
-        t = a0 / (-b0)
-        inside = (jnp.abs(b0) >= min_dot) & (t >= epsilon)
-        for j in (1, 2, 3):
-            sd = a[j * tp : (j + 1) * tp] + t * bb[j * tp : (j + 1) * tp]
-            inside = inside & (sd <= 0.0)
-        t_masked = jnp.where(inside, t, jnp.inf)
+        t_masked = _t_masked_rows(a, bb, tp)
         t_best = jnp.min(t_masked, axis=0, keepdims=True)  # (1, B)
-        hit = jnp.isfinite(t_best)
         idx = jnp.argmin(t_masked, axis=0).astype(jnp.int32)[None, :]  # (1, B)
-        idx_f = jnp.where(hit, idx.astype(jnp.float32), 0.0)
-        t_safe = jnp.where(hit, t_best, 0.0)
-        point = p + d * t_safe
-        # hit as f32 0/1: the tuple is carried across the bounce loop
-        # and Mosaic cannot legalize boolean vectors in loop carries.
-        return t_best, hit.astype(jnp.float32), idx_f, point
+        return _resolve(t_best, idx.astype(jnp.float32), p, d)
+
+    # --- Cluster-chunked sweep (large scenes; cluster_k > 0) -----------
+    # Triangles are processed in contiguous index-clusters of K rows; a
+    # per-cluster AABB slab test lets the whole ray block skip clusters
+    # none of its rays can hit (lax.cond), and the per-chunk working set
+    # is (4K, B) instead of (4Tp, B).  Results fold into a running
+    # (t_best, idx) min that is bit-identical to the dense sweep: the
+    # per-triangle t values are the same MXU rows, min is associative,
+    # and the strict `<` update preserves the lowest-index tie rule
+    # because clusters are visited in ascending index order.
+
+    def _chunk_rows(c):
+        """(4K, 4) plane rows of cluster c (static slices of the
+        plane-major pmat)."""
+        k = cluster_k
+        return jnp.concatenate(
+            [pmat[j * tp + c * k : j * tp + c * k + k] for j in range(4)],
+            axis=0,
+        )
+
+    def _inv_dir(d):
+        """Safe reciprocal direction for slab tests: exact-zero
+        components become +-1e-20 (direction is normalized, so this only
+        rescales the degenerate axis; the interval stays conservative)."""
+        tiny = jnp.where(d < 0, -1e-20, 1e-20)
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-20, tiny, d)
+
+    def _slab_rows(c, p, inv_d):
+        """(1, B) f32 0/1: does each lane's ray [0, inf) hit cluster c's
+        (margin-padded) AABB?"""
+        lo = cab[0:3, c : c + 1]
+        hi = cab[3:6, c : c + 1]
+        t1 = (lo - p) * inv_d
+        t2 = (hi - p) * inv_d
+        tmin = jnp.max(jnp.minimum(t1, t2), axis=0, keepdims=True)
+        tmax = jnp.min(jnp.maximum(t1, t2), axis=0, keepdims=True)
+        return (tmax >= jnp.maximum(tmin, 0.0)).astype(jnp.float32)
+
+    def _fold_chunk(tm, c, t_b, i_b):
+        t_c = jnp.min(tm, axis=0, keepdims=True)
+        i_c = (
+            jnp.argmin(tm, axis=0).astype(jnp.float32)[None, :]
+            + float(c * cluster_k)
+        )
+        better = t_c < t_b
+        return jnp.where(better, t_c, t_b), jnp.where(better, i_c, i_b)
+
+    def _sweep_single(pd4, p, d):
+        inv_d = _inv_dir(d)
+        t_b = jnp.full((1, block), jnp.inf, jnp.float32)
+        i_b = jnp.zeros((1, block), jnp.float32)
+        for c in range(n_clusters):
+            def go(st, c=c):
+                tb, ib = st
+                ab = jnp.dot(
+                    _chunk_rows(c), pd4,
+                    preferred_element_type=jnp.float32, precision=GEO,
+                )
+                tm = _t_masked_rows(ab[:, :block], ab[:, block:], cluster_k)
+                return _fold_chunk(tm, c, tb, ib)
+
+            t_b, i_b = jax.lax.cond(
+                jnp.max(_slab_rows(c, p, inv_d)) > 0.0,
+                go, lambda st: st, (t_b, i_b),
+            )
+        return _resolve(t_b, i_b, p, d)
+
+    def _sweep_pair(pdd, p, d1, d2):
+        inv1, inv2 = _inv_dir(d1), _inv_dir(d2)
+        inf_row = jnp.full((1, block), jnp.inf, jnp.float32)
+        zero_row = jnp.zeros((1, block), jnp.float32)
+        st0 = (inf_row, zero_row, inf_row, zero_row)
+        st = st0
+        for c in range(n_clusters):
+            def go(s, c=c):
+                t1b, i1b, t2b, i2b = s
+                ab = jnp.dot(
+                    _chunk_rows(c), pdd,
+                    preferred_element_type=jnp.float32, precision=GEO,
+                )
+                a = ab[:, :block]
+                tm1 = _t_masked_rows(a, ab[:, block : 2 * block], cluster_k)
+                tm2 = _t_masked_rows(a, ab[:, 2 * block :], cluster_k)
+                t1b, i1b = _fold_chunk(tm1, c, t1b, i1b)
+                t2b, i2b = _fold_chunk(tm2, c, t2b, i2b)
+                return (t1b, i1b, t2b, i2b)
+
+            any_hit = (
+                jnp.max(_slab_rows(c, p, inv1)) + jnp.max(_slab_rows(c, p, inv2))
+            ) > 0.0
+            st = jax.lax.cond(any_hit, go, lambda s: s, st)
+        t1b, i1b, t2b, i2b = st
+        t1, hit1, idx1_f, _p1 = _resolve(t1b, i1b, p, d1)
+        nxt = _resolve(t2b, i2b, p, d2)
+        return (t1, hit1, idx1_f), nxt
 
     def intersect(p, d):
         """-> (t_best (1,B), hit (1,B) f32 0/1, idx_f (1,B) f32 hit
@@ -206,10 +319,13 @@ def _make_geom(tp, pmat, block, min_dot, epsilon) -> _Geom:
 
         One packed matmul: rows [j*Tp:(j+1)*Tp] of pmat are plane j
         (j=0 the face plane, j=1..3 the edge planes), rhs columns
-        [:B] homogeneous origins, [B:] homogeneous directions."""
+        [:B] homogeneous origins, [B:] homogeneous directions.  Large
+        scenes run the cluster-chunked sweep instead (see above)."""
         p4 = jnp.concatenate([p, ones_row], axis=0)  # (4, B)
         d4 = jnp.concatenate([d, zeros_row], axis=0)
         pd4 = jnp.concatenate([p4, d4], axis=1)  # (4, 2B)
+        if cluster_k:
+            return _sweep_single(pd4, p, d)
         ab = jnp.dot(pmat, pd4, preferred_element_type=jnp.float32, precision=GEO)  # (4Tp, 2B)
         return _finish(ab[:, :block], ab[:, block:], p, d)
 
@@ -226,6 +342,8 @@ def _make_geom(tp, pmat, block, min_dot, epsilon) -> _Geom:
         d14 = jnp.concatenate([d1, zeros_row], axis=0)
         d24 = jnp.concatenate([d2, zeros_row], axis=0)
         pdd = jnp.concatenate([p4, d14, d24], axis=1)  # (4, 3B)
+        if cluster_k:
+            return _sweep_pair(pdd, p, d1, d2)
         ab = jnp.dot(pmat, pdd, preferred_element_type=jnp.float32, precision=GEO)
         a = ab[:, :block]
         t1, hit1, idx1_f, _p1 = _finish(a, ab[:, block : 2 * block], p, d1)
@@ -307,7 +425,7 @@ def _make_geom(tp, pmat, block, min_dot, epsilon) -> _Geom:
 
 
 def _make_bounce(cfg_static, tp, n_emissive, no_spec, pmat, table, etab, cdf,
-                 block):
+                 block, cab=None, cluster_k=0):
     """Build the shared per-bounce forward step.
 
     Returns bounce(b, u, st) -> (new_st, _BounceOut) with the lane state
@@ -335,7 +453,8 @@ def _make_bounce(cfg_static, tp, n_emissive, no_spec, pmat, table, etab, cdf,
     the FACE normal (path_trace.cu:134 uses tri->normal)."""
     (max_bounces, p_rr, min_dot, epsilon, quirks) = cfg_static
     has_vn = table.shape[0] > 16  # static: 35 rows iff vertex normals
-    geom = _make_geom(tp, pmat, block, min_dot, epsilon)
+    geom = _make_geom(tp, pmat, block, min_dot, epsilon, cab=cab,
+                      cluster_k=cluster_k)
     intersect = geom.intersect
     intersect_pair = geom.intersect_pair
     normalize3 = geom.normalize3
@@ -590,6 +709,7 @@ def _kernel_fwd(
     n_emissive,
     fused_rng,
     no_spec,
+    cluster_k,
     # refs:
     p_ref,  # (3, BLOCK) ray origins
     d_ref,  # (3, BLOCK) ray dirs
@@ -597,6 +717,7 @@ def _kernel_fwd(
     orig_ref,  # (1, BLOCK) i32 global sample indices (fused RNG)
     u_ref,  # (bounces*8, BLOCK) uniforms, or (2,) SMEM key words if fused
     pmat_ref,  # (4*Tp, 4) packed plane rows
+    cab_ref,  # (8, C) cluster AABBs ((8, 1) dummy when cluster_k == 0)
     table_ref,  # (16|35, Tp): emission/spec/shin/face_n/kd_hi (+vn) + kd_lo rows
     etab_ref,  # (17|27, nE): verts emission face_n idx p (+vn area)
     cdf_ref,  # (nE, 1)
@@ -608,6 +729,7 @@ def _kernel_fwd(
     bounce, init_state = _make_bounce(
         cfg_static, tp, n_emissive, no_spec,
         pmat_ref[:], table_ref[:], etab_ref[:], cdf_ref[:], block,
+        cab=cab_ref[:], cluster_k=cluster_k,
     )
     max_bounces = cfg_static[0]
     draw = _make_uniform_stream(fused_rng, u_ref, orig_ref, block)
@@ -650,6 +772,7 @@ def _kernel_bwd(
     n_emissive,
     fused_rng,
     no_spec,
+    cluster_k,
     # refs:
     p_ref,
     d_ref,
@@ -658,6 +781,7 @@ def _kernel_bwd(
     orig_ref,  # (1, BLOCK) i32
     u_ref,  # uniforms or (2,) SMEM key words if fused
     pmat_ref,
+    cab_ref,
     table_ref,
     etab_ref,
     cdf_ref,
@@ -668,6 +792,7 @@ def _kernel_bwd(
     bounce, init_state = _make_bounce(
         cfg_static, tp, n_emissive, no_spec,
         pmat_ref[:], table_ref[:], etab_ref[:], cdf_ref[:], block,
+        cab=cab_ref[:], cluster_k=cluster_k,
     )
     (max_bounces, _p_rr, _min_dot, _eps, quirks) = cfg_static
     draw = _make_uniform_stream(fused_rng, u_ref, orig_ref, block)
@@ -797,18 +922,21 @@ def _kernel_init(
     min_dot,
     epsilon,
     tp,
+    cluster_k,
     # refs:
     p_ref,  # (3, BLOCK)
     d_ref,  # (3, BLOCK)
     alive_ref,  # (1, BLOCK) f32
     pmat_ref,  # (4*Tp, 4)
+    cab_ref,  # (8, C)
     carry_ref,  # out (CARRY_ROWS, BLOCK)
 ):
     """Bounce-0 intersect -> initial lane carry.  This is init_state
     spilled to the CARRY_ROWS layout; no extra compute vs the mega
     kernel, whose first intersect happens in the same place."""
     block = p_ref.shape[1]
-    geom = _make_geom(tp, pmat_ref[:], block, min_dot, epsilon)
+    geom = _make_geom(tp, pmat_ref[:], block, min_dot, epsilon,
+                      cab=cab_ref[:], cluster_k=cluster_k)
     _t, hit, idx_f, point = geom.intersect(p_ref[:], d_ref[:])
     zero3 = jnp.zeros((3, block), jnp.float32)
     zero1 = jnp.zeros((1, block), jnp.float32)
@@ -837,6 +965,7 @@ def _kernel_stage(
     n_emissive,
     fused_rng,
     no_spec,
+    cluster_k,
     k_bounces,
     with_rec,
     # refs:
@@ -845,6 +974,7 @@ def _kernel_stage(
     orig_ref,  # (1, BLOCK) i32 global sample indices
     u_ref,  # (k*8, BLOCK) stage uniforms, or (2,) SMEM key words if fused
     pmat_ref,
+    cab_ref,
     table_ref,
     etab_ref,
     cdf_ref,
@@ -865,6 +995,7 @@ def _kernel_stage(
     bounce, _init = _make_bounce(
         cfg_static, tp, n_emissive, no_spec,
         pmat_ref[:], table_ref[:], etab_ref[:], cdf_ref[:], block,
+        cab=cab_ref[:], cluster_k=cluster_k,
     )
     max_bounces = cfg_static[0]
     draw = _make_uniform_stream(fused_rng, u_ref, orig_ref, block)
@@ -965,9 +1096,18 @@ def _pack_tables(scene, materials):
     so splitting Kd into a bf16-exact hi part (rows 10:13) plus a tiny
     lo remainder (the LAST 3 rows) and summing the two looked-up rows
     reconstructs f32 Kd exactly — two extra one-pass rows instead of
-    six passes over the whole table."""
+    six passes over the whole table.
+
+    Large scenes (Tp >= CLUSTER_MIN_TP) additionally get cluster
+    metadata for the chunked sweep (_make_geom): tp rounds up to a
+    multiple of CLUSTER_K and `cab` carries each contiguous
+    CLUSTER_K-triangle cluster's margin-padded AABB as (8, C) rows
+    [lo xyz, hi xyz, pad, pad].  Also returns cluster_k (0 = dense)."""
     n_tri = scene.vertices.shape[0]
     tp = _round_up(max(n_tri, 8), 8)
+    cluster_k = CLUSTER_K if tp >= CLUSTER_MIN_TP else 0
+    if cluster_k:
+        tp = _round_up(n_tri, cluster_k)
     planes = scene.plane_mat.reshape(4, n_tri, 4).transpose(2, 1, 0)  # (pl,tri,co)
     pad = jnp.zeros((tp - n_tri, 4), jnp.float32)
     pmat = jnp.concatenate(
@@ -1009,7 +1149,29 @@ def _pack_tables(scene, materials):
         ]
     etab = jnp.concatenate(ecols, axis=1).T  # (17|27, nE)
     cdf = scene.emissive_cdf[:, None]  # (nE, 1)
-    return tp, pmat, table, etab, cdf
+    if cluster_k:
+        lo_t = scene.vertices.min(axis=1)  # (nT, 3)
+        hi_t = scene.vertices.max(axis=1)
+        # Pad rows with +inf/-inf so they never extend a cluster's box
+        # (every cluster holds >= 1 real triangle by construction).
+        lo_t = jnp.concatenate(
+            [lo_t, jnp.full((tp - n_tri, 3), jnp.inf, jnp.float32)], axis=0
+        )
+        hi_t = jnp.concatenate(
+            [hi_t, jnp.full((tp - n_tri, 3), -jnp.inf, jnp.float32)], axis=0
+        )
+        c = tp // cluster_k
+        lo_c = lo_t.reshape(c, cluster_k, 3).min(axis=1).T  # (3, C)
+        hi_c = hi_t.reshape(c, cluster_k, 3).max(axis=1).T
+        # Small conservative margin: a grazing hit exactly on the box
+        # surface must never be culled by slab-test rounding.
+        m = 1e-4 * (hi_c - lo_c) + 1e-5
+        cab = jnp.concatenate(
+            [lo_c - m, hi_c + m, jnp.zeros((2, c), jnp.float32)], axis=0
+        )  # (8, C)
+    else:
+        cab = jnp.zeros((8, 1), jnp.float32)
+    return tp, pmat, table, etab, cdf, cab, cluster_k
 
 
 def _cfg_static(cfg):
@@ -1058,7 +1220,7 @@ def render_tile_pallas(
     n_e = scene.emissive_idx.shape[0]
     tile = p.shape[1]
     assert tile % block == 0, (tile, block)
-    tp, pmat, table, etab, cdf = _pack_tables(scene, materials)
+    tp, pmat, table, etab, cdf, cab, ck = _pack_tables(scene, materials)
     if orig is None:
         orig = jnp.zeros((1, tile), jnp.int32)
 
@@ -1073,7 +1235,7 @@ def render_tile_pallas(
 
     kernel = functools.partial(
         _kernel_fwd, _cfg_static(cfg), tp, n_e, fused_rng,
-        scene.specular_idx.shape[0] == 0,
+        scene.specular_idx.shape[0] == 0, ck,
     )
 
     rad, stats = pl.pallas_call(
@@ -1086,6 +1248,7 @@ def render_tile_pallas(
             ray_spec(1),
             u_spec,
             full(pmat),
+            full(cab),
             full(table),
             full(etab),
             full(cdf),
@@ -1097,7 +1260,7 @@ def render_tile_pallas(
         ],
         compiler_params=_compiler_params(interpret, True),
         interpret=interpret,
-    )(p, d, alive, orig, u_arg, pmat, table, etab, cdf)
+    )(p, d, alive, orig, u_arg, pmat, cab, table, etab, cdf)
     return rad, stats
 
 
@@ -1121,7 +1284,7 @@ def grad_tile_pallas(
     n_e = scene.emissive_idx.shape[0]
     tile = p.shape[1]
     assert tile % block == 0, (tile, block)
-    tp, pmat, table, etab, cdf = _pack_tables(scene, materials)
+    tp, pmat, table, etab, cdf, cab, ck = _pack_tables(scene, materials)
     if orig is None:
         orig = jnp.zeros((1, tile), jnp.int32)
 
@@ -1136,7 +1299,7 @@ def grad_tile_pallas(
 
     kernel = functools.partial(
         _kernel_bwd, _cfg_static(cfg), tp, n_e, fused_rng,
-        scene.specular_idx.shape[0] == 0,
+        scene.specular_idx.shape[0] == 0, ck,
     )
 
     dmats = pl.pallas_call(
@@ -1150,6 +1313,7 @@ def grad_tile_pallas(
             ray_spec(1),
             u_spec,
             full(pmat),
+            full(cab),
             full(table),
             full(etab),
             full(cdf),
@@ -1162,7 +1326,7 @@ def grad_tile_pallas(
             pltpu.VMEM((cfg.max_bounces * REC_ROWS, block), jnp.float32)
         ],
         interpret=interpret,
-    )(p, d, alive, g, orig, u_arg, pmat, table, etab, cdf)
+    )(p, d, alive, g, orig, u_arg, pmat, cab, table, etab, cdf)
     return dmats[:, :n_tri].T  # (nT, 3)
 
 
@@ -1189,7 +1353,7 @@ def render_tile_pallas_rec(
     n_e = scene.emissive_idx.shape[0]
     tile = p.shape[1]
     assert tile % block == 0, (tile, block)
-    tp, pmat, table, etab, cdf = _pack_tables(scene, materials)
+    tp, pmat, table, etab, cdf, cab, ck = _pack_tables(scene, materials)
     if orig is None:
         orig = jnp.zeros((1, tile), jnp.int32)
 
@@ -1204,7 +1368,7 @@ def render_tile_pallas_rec(
 
     kernel = functools.partial(
         _kernel_fwd, _cfg_static(cfg), tp, n_e, fused_rng,
-        scene.specular_idx.shape[0] == 0,
+        scene.specular_idx.shape[0] == 0, ck,
     )
     rec_rows = cfg.max_bounces * REC_ROWS
 
@@ -1218,6 +1382,7 @@ def render_tile_pallas_rec(
             ray_spec(1),
             u_spec,
             full(pmat),
+            full(cab),
             full(table),
             full(etab),
             full(cdf),
@@ -1230,7 +1395,7 @@ def render_tile_pallas_rec(
         ],
         compiler_params=_compiler_params(interpret, True),
         interpret=interpret,
-    )(p, d, alive, orig, u_arg, pmat, table, etab, cdf)
+    )(p, d, alive, orig, u_arg, pmat, cab, table, etab, cdf)
     return rad, stats, rec
 
 
@@ -1283,23 +1448,23 @@ def init_tile_pallas(
     lane carry."""
     tile = p.shape[1]
     assert tile % block == 0, (tile, block)
-    tp, pmat, _table, _etab, _cdf = _pack_tables(scene, materials)
+    tp, pmat, _table, _etab, _cdf, cab, ck = _pack_tables(scene, materials)
 
     grid = (tile // block,)
     ray_spec = lambda rows: pl.BlockSpec(
         (rows, block), lambda i: (0, i), memory_space=pltpu.VMEM
     )
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-    kernel = functools.partial(_kernel_init, cfg.min_dot, cfg.epsilon, tp)
+    kernel = functools.partial(_kernel_init, cfg.min_dot, cfg.epsilon, tp, ck)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[ray_spec(3), ray_spec(3), ray_spec(1), full(pmat)],
+        in_specs=[ray_spec(3), ray_spec(3), ray_spec(1), full(pmat), full(cab)],
         out_specs=ray_spec(CARRY_ROWS),
         out_shape=jax.ShapeDtypeStruct((CARRY_ROWS, tile), jnp.float32),
         compiler_params=_compiler_params(interpret, True),
         interpret=interpret,
-    )(p, d, alive, pmat)
+    )(p, d, alive, pmat, cab)
 
 
 def stage_tile_pallas(
@@ -1323,7 +1488,7 @@ def stage_tile_pallas(
     n_e = scene.emissive_idx.shape[0]
     tile = carry.shape[1]
     assert tile % block == 0, (tile, block)
-    tp, pmat, table, etab, cdf = _pack_tables(scene, materials)
+    tp, pmat, table, etab, cdf, cab, ck = _pack_tables(scene, materials)
     start = jnp.asarray(start_bounce, jnp.int32).reshape((1,))
 
     grid = (tile // block,)
@@ -1338,7 +1503,7 @@ def stage_tile_pallas(
 
     kernel = functools.partial(
         _kernel_stage, _cfg_static(cfg), tp, n_e, fused_rng,
-        scene.specular_idx.shape[0] == 0, k_bounces, with_rec,
+        scene.specular_idx.shape[0] == 0, ck, k_bounces, with_rec,
     )
     out_specs = [ray_spec(CARRY_ROWS)]
     out_shape = [jax.ShapeDtypeStruct((CARRY_ROWS, tile), jnp.float32)]
@@ -1357,6 +1522,7 @@ def stage_tile_pallas(
             ray_spec(1),
             u_spec,
             full(pmat),
+            full(cab),
             full(table),
             full(etab),
             full(cdf),
@@ -1365,7 +1531,7 @@ def stage_tile_pallas(
         out_shape=out_shape,
         compiler_params=_compiler_params(interpret, True),
         interpret=interpret,
-    )(start, carry, orig, u_arg, pmat, table, etab, cdf)
+    )(start, carry, orig, u_arg, pmat, cab, table, etab, cdf)
     return (out[0], out[1]) if with_rec else out[0]
 
 
