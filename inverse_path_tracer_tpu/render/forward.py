@@ -521,7 +521,7 @@ def _render_range_pallas_impl(
     start: jnp.ndarray,
     count: int,
 ) -> Tuple[jnp.ndarray, RenderStats]:
-    if _use_staged(cfg):
+    if _use_staged(cfg, scene):
         return _render_range_staged_impl(materials, scene, key, cfg, start, count)
     from inverse_path_tracer_tpu.ops.pallas.render_kernel import render_tile_pallas
 
@@ -560,18 +560,34 @@ def _render_range_pallas_impl(
     return vals.reshape(-1, 3)[: count], stats
 
 
-def _use_staged(cfg: RenderConfig) -> bool:
-    """Wavefront organisation for the Pallas backend.  "auto" resolves
-    to the single megakernel: the staged compaction pipeline is an
-    explicit opt-in experiment — as measured on v5e it LOSES to the
-    megakernel (54.6M vs 291.6M rays/s at 512x512/64spp/16b; the
-    host-side lane re-permutation between stages costs more than the
-    dead-lane work it skips — see BASELINE.md)."""
+def _use_staged(cfg: RenderConfig, scene: SceneData) -> bool:
+    """Wavefront organisation for the Pallas backend, measured on v5e
+    (512x512/64spp/16b):
+
+      * small scenes (the reference's 30 triangles): the single
+        megakernel wins — 291.6M vs 54.6M rays/s; per-bounce work is so
+        cheap that the staged pipeline's host-side lane re-permutation
+        between stages costs more than the dead-lane slots it skips.
+      * large scenes (Cornell+sphere, 1298 tris): staged wins — 23.6M
+        vs 16.1M rays/s; per-slot cost scales with Tp, so tracking the
+        Russian-roulette alive curve pays while the fixed permutation
+        overhead stays the same.
+
+    "auto" picks by the same padded-triangle-count threshold the
+    cluster-chunked sweep uses; "mega"/"staged" force either path
+    (mega is the bit-parity oracle for staged in tests)."""
     if cfg.wavefront not in ("auto", "mega", "staged"):
         raise ValueError(
             f"unknown cfg.wavefront {cfg.wavefront!r}: "
             "expected 'auto', 'mega', or 'staged'"
         )
+    if cfg.wavefront == "auto":
+        from inverse_path_tracer_tpu.ops.pallas.render_kernel import (
+            CLUSTER_MIN_TP,
+        )
+
+        tp = -(-max(scene.vertices.shape[0], 8) // 8) * 8
+        return tp >= CLUSTER_MIN_TP
     return cfg.wavefront == "staged"
 
 
@@ -814,7 +830,7 @@ def _grad_range_pallas(
     primary rays and uniforms exactly as the forward pass did, then one
     kernel replays the bounce loop with records in VMEM and returns the
     (nT, 3) cotangent — no HBM records traffic, no XLA replay."""
-    if _use_staged(cfg):
+    if _use_staged(cfg, scene):
         return _grad_range_staged(
             materials, scene, key, cfg, start, count, g_vals
         )
@@ -917,7 +933,7 @@ def loss_and_grad_range(
     n_tri = scene.vertices.shape[0]
     interpret = jax.default_backend() != "tpu"
     fused_rng = _pallas_fused_rng(cfg, interpret)
-    staged = _use_staged(cfg)
+    staged = _use_staged(cfg, scene)
     k, _n_stages = _stage_plan(cfg)
     block = _pallas_block(
         scene, tile, records=True,

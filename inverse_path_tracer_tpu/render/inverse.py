@@ -333,7 +333,16 @@ def trace_transport_range(
     p_spec == 0; tests/test_pallas_inverse.py asserts equality)."""
     from inverse_path_tracer_tpu.render.forward import _use_pallas
 
-    if cfg.p_spec == 0.0 and _use_pallas(cfg, scene):
+    # The fused kernel carries the dense (nT+1, 9*Tp) edge accumulator
+    # in VMEM — ~40 KB at the reference's 30 triangles but O(nT^2): a
+    # 1300-triangle scene would need ~60 MB of the 16 MB budget.  Past
+    # ~256 triangles (>= ~2.4 MB + bounce working set, measured safe on
+    # v5e) the XLA segment-matmul path takes over.  cfg.backend="pallas"
+    # still forces the kernel for tests.
+    n_t = scene.vertices.shape[0]
+    acc_mb = (n_t + 8) * 9 * (n_t + 8) * 4 / 2**20
+    fits = acc_mb <= 2.5 or cfg.backend == "pallas"
+    if cfg.p_spec == 0.0 and fits and _use_pallas(cfg, scene):
         return _trace_transport_range_pallas(
             scene, target_image01, key, cfg, start, count
         )

@@ -280,3 +280,17 @@ def test_config_validation_errors(cornell_scene):
             cornell_scene.diffuse, cornell_scene, key,
             CFG.with_(backend="pallas", rng="fussed"),
         )
+
+
+def test_auto_wavefront_policy(cornell_scene):
+    """wavefront='auto' resolves by scene size: megakernel for small
+    scenes (291.6M vs 54.6M rays/s on v5e), staged compaction for large
+    ones (23.6M vs 16.1M on Cornell+sphere) — see _use_staged."""
+    from inverse_path_tracer_tpu.render.forward import _use_staged
+    from tests.test_pallas import _sphere_scene
+
+    cfg = CFG.with_(backend="pallas")
+    assert not _use_staged(cfg, cornell_scene)
+    assert _use_staged(cfg, _sphere_scene())
+    assert _use_staged(cfg.with_(wavefront="staged"), cornell_scene)
+    assert not _use_staged(cfg.with_(wavefront="mega"), _sphere_scene())
