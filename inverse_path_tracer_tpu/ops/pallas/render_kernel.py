@@ -70,6 +70,7 @@ tests/test_pallas.py for both quirk modes.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -127,8 +128,8 @@ CARRY_ROWS = 24
 # behavioral contract — they appear in transport graphs and materials),
 # and mesh files emit spatially coherent triangle runs, so contiguous
 # clusters get tight AABBs without any reordering.
-CLUSTER_K = 128
-CLUSTER_MIN_TP = 512
+CLUSTER_K = int(os.environ.get("IPT_CLUSTER_K", 128))
+CLUSTER_MIN_TP = int(os.environ.get("IPT_CLUSTER_MIN_TP", 512))
 
 # pl is imported lazily so CPU-only environments without pallas work.
 try:
@@ -192,10 +193,18 @@ def _make_geom(tp, pmat, block, min_dot, epsilon, cab=None, cluster_k=0) -> _Geo
         a0 = a[0:k]
         b0 = bb[0:k]
         t = a0 / (-b0)
-        inside = (jnp.abs(b0) >= min_dot) & (t >= epsilon)
-        for j in (1, 2, 3):
-            sd = a[j * k : (j + 1) * k] + t * bb[j * k : (j + 1) * k]
-            inside = inside & (sd <= 0.0)
+        # max over the 3 edge signed distances <= 0 fuses the three
+        # per-edge compare+and chains into one compare (NaN rows — from
+        # t=inf with b_j=0 — propagate through maximum and fail the
+        # compare, exactly like the per-edge NaN compares did).
+        sd = jnp.maximum(
+            a[k : 2 * k] + t * bb[k : 2 * k],
+            jnp.maximum(
+                a[2 * k : 3 * k] + t * bb[2 * k : 3 * k],
+                a[3 * k : 4 * k] + t * bb[3 * k : 4 * k],
+            ),
+        )
+        inside = (jnp.abs(b0) >= min_dot) & (t >= epsilon) & (sd <= 0.0)
         return jnp.where(inside, t, jnp.inf)
 
     def _resolve(t_best, idx_raw_f, p, d):

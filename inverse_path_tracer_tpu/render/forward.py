@@ -600,15 +600,16 @@ def _stage_plan(cfg: RenderConfig) -> Tuple[int, int]:
 def _alive_first_order(alive: jnp.ndarray) -> jnp.ndarray:
     """Stable partition permutation: order (tile,) i32 with alive lanes
     first, relative order preserved on both sides.  new[j] =
-    old[order[j]].  Cumsum + scatter — O(n), far cheaper on TPU than a
-    sort, and deterministic."""
-    a = (alive > 0).astype(jnp.int32)
+    old[order[j]].  Implemented as a stable key sort on the dead flag:
+    XLA's TPU sort is fully vectorized, while the cumsum+scatter
+    alternative lowers the (tile,)-element scatter to a serialized
+    update loop (measured slower at tile 65536)."""
     n = alive.shape[0]
-    ca = jnp.cumsum(a)
-    pos = jnp.where(a > 0, ca - 1, ca[-1] + jnp.cumsum(1 - a) - 1)
-    return jnp.zeros((n,), jnp.int32).at[pos].set(
-        jnp.arange(n, dtype=jnp.int32)
+    dead = (alive <= 0).astype(jnp.int32)
+    _, order = jax.lax.sort(
+        (dead, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True
     )
+    return order
 
 
 # Staged-carry row indices (ops/pallas/render_kernel.py CARRY_ROWS).
