@@ -612,6 +612,44 @@ def _alive_first_order(alive: jnp.ndarray) -> jnp.ndarray:
     return order
 
 
+def _binned_order(carry: jnp.ndarray, center: jnp.ndarray) -> jnp.ndarray:
+    """Alive-first + ray-binned stable permutation for the staged
+    wavefront on clustered (large) scenes.
+
+    Key = dead·64 + direction-octant·8 + origin-cell: alive lanes still
+    pack strictly before dead ones (the dead-block early exit and the
+    bitwise staged≡mega contract only need that — per-lane arithmetic
+    is lane-order independent), but within the alive prefix lanes are
+    grouped by the sign octant of their next direction and the scene
+    half-space cell of their next origin.  Ray blocks then see
+    directionally/spatially coherent rays, which is what lets the
+    cluster sweep's block-wide AABB slab skip (`ops/pallas/
+    render_kernel.py _sweep_*`, a lax.cond over max-over-lanes) actually
+    fire: with unbinned blocks one stray lane forces every cluster.
+    Classic wavefront ray binning (cf. the reference's free per-thread
+    divergence, path_trace.cu:175-181) expressed as one XLA sort key."""
+    alive = carry[_CAR_ALIVE]
+    d = carry[0:3]
+    p = carry[3:6]
+    n = alive.shape[0]
+    dead = (alive <= 0).astype(jnp.int32)
+    octant = (
+        (d[0] > 0).astype(jnp.int32)
+        + 2 * (d[1] > 0).astype(jnp.int32)
+        + 4 * (d[2] > 0).astype(jnp.int32)
+    )
+    cell = (
+        (p[0] > center[0]).astype(jnp.int32)
+        + 2 * (p[1] > center[1]).astype(jnp.int32)
+        + 4 * (p[2] > center[2]).astype(jnp.int32)
+    )
+    key = dead * 64 + octant * 8 + cell
+    _, order = jax.lax.sort(
+        (key, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True
+    )
+    return order
+
+
 # Staged-carry row indices (ops/pallas/render_kernel.py CARRY_ROWS).
 _CAR_ALIVE, _CAR_RAD, _CAR_SEG, _CAR_SHW = 17, slice(18, 21), 21, 22
 
@@ -672,9 +710,21 @@ def _staged_tile_fwd(
                 [uniforms, jnp.zeros((pad_rows, tile), uniforms.dtype)], axis=0
             )
 
+    from inverse_path_tracer_tpu.ops.pallas.render_kernel import (
+        CLUSTER_MIN_TP,
+    )
+
+    clustered = -(-max(scene.vertices.shape[0], 8) // 8) * 8 >= CLUSTER_MIN_TP
+    if clustered:
+        v = scene.vertices.reshape(-1, 3)
+        center = 0.5 * (v.min(axis=0) + v.max(axis=0))
+
     def stage_body(st, s):
         carry, orig = st
-        order = _alive_first_order(carry[_CAR_ALIVE])
+        if clustered:
+            order = _binned_order(carry, center)
+        else:
+            order = _alive_first_order(carry[_CAR_ALIVE])
         carry = carry[:, order]
         orig = orig[order]
         u_s = None

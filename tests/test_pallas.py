@@ -220,6 +220,25 @@ def test_pallas_vertex_normal_scene_matches_xla():
     g_p = jax.grad(lambda m: loss(m, cfg.with_(backend="pallas")))(scene.diffuse)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=2e-4, atol=1e-7)
 
+def test_staged_binned_matches_mega_bitwise_clustered():
+    """On clustered (large) scenes the staged wavefront additionally
+    ray-bins lanes by direction octant + origin cell between stages
+    (render/forward.py _binned_order); per-lane arithmetic is
+    lane-order independent, so radiance must stay BIT-identical to the
+    megakernel and exact ray counts must survive the re-permutation."""
+    scene = _sphere_scene()
+    key = jax.random.PRNGKey(7)
+    cfg = RenderConfig(
+        width=8, height=8, spp=2, max_bounces=4, tile_size=128,
+        backend="pallas", rng="external",
+    )
+    a, sa = render_samples(scene.diffuse, scene, key, cfg.with_(wavefront="mega"))
+    b, sb = render_samples(scene.diffuse, scene, key, cfg.with_(wavefront="staged"))
+    assert bool(jnp.all(a == b))
+    assert float(sa.segments) == float(sb.segments)
+    assert float(sa.shadow_rays) == float(sb.shadow_rays)
+
+
 def test_pallas_specular_scene_matches_xla(tmp_path):
     """A scene with Ks > 0 exercises the kernels' general (Phong)
     branch, which must still match the XLA oracle (fwd + grad)."""
