@@ -60,6 +60,7 @@ def main():
     backend = os.environ.get("BENCH_BACKEND", "pallas")
     wavefront = os.environ.get("BENCH_WAVEFRONT", "auto")
     rng = os.environ.get("BENCH_RNG", "auto")
+    stage_bounces = int(os.environ.get("BENCH_STAGE_BOUNCES", 2))
 
     log(f"devices: {jax.devices()}")
     if name == "sphere":
@@ -69,6 +70,7 @@ def main():
     cfg = RenderConfig(
         width=width, height=height, spp=spp, max_bounces=bounces,
         tile_size=tile, backend=backend, wavefront=wavefront, rng=rng,
+        stage_bounces=stage_bounces,
     )
     log(f"scene={name} nT={scene.vertices.shape[0]} vn={scene.vertex_normals.shape[1] != 0} "
         f"{width}x{height} {spp}spp {bounces}b tile={tile} backend={backend} wavefront={wavefront}")

@@ -220,6 +220,45 @@ def test_pallas_vertex_normal_scene_matches_xla():
     g_p = jax.grad(lambda m: loss(m, cfg.with_(backend="pallas")))(scene.diffuse)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=2e-4, atol=1e-7)
 
+def test_stage_orders_are_stable_partitions():
+    """Both stage permutations (plain alive-first and ray-binned) are
+    valid permutations with every alive lane strictly before every dead
+    lane (the dead-block early exit depends on that), stable within
+    equal keys, for adversarial alive patterns."""
+    from inverse_path_tracer_tpu.ops.pallas.render_kernel import CARRY_ROWS
+    from inverse_path_tracer_tpu.render.forward import (
+        _CAR_ALIVE,
+        _alive_first_order,
+        _binned_order,
+    )
+
+    n = 257
+    rng = np.random.default_rng(0)
+    center = jnp.zeros((3,), jnp.float32)
+    for alive in (
+        np.zeros(n), np.ones(n), (np.arange(n) % 3 == 0).astype(np.float32),
+        rng.integers(0, 2, n).astype(np.float32),
+    ):
+        carry = jnp.asarray(rng.normal(size=(CARRY_ROWS, n)), jnp.float32)
+        carry = carry.at[_CAR_ALIVE].set(jnp.asarray(alive, jnp.float32))
+        for order in (
+            _alive_first_order(carry[_CAR_ALIVE]),
+            _binned_order(carry, center),
+        ):
+            o = np.asarray(order)
+            assert sorted(o.tolist()) == list(range(n))
+            dead_seen = False
+            for j in o:
+                if alive[j] <= 0:
+                    dead_seen = True
+                else:
+                    assert not dead_seen  # alive lane after a dead one
+        # Plain partition is stable: alive lanes keep relative order.
+        o = np.asarray(_alive_first_order(carry[_CAR_ALIVE]))
+        alive_idx = [j for j in o if alive[j] > 0]
+        assert alive_idx == sorted(alive_idx)
+
+
 def test_staged_binned_matches_mega_bitwise_clustered():
     """On clustered (large) scenes the staged wavefront additionally
     ray-bins lanes by direction octant + origin cell between stages
