@@ -21,7 +21,7 @@ output (path_trace.cu:227, inv_path_trace.cu:195), and so does this.
 
 Knobs (env): BENCH_WIDTH/HEIGHT/SPP/BOUNCES/TILE, BENCH_BACKEND,
 BENCH_WAVEFRONT, BENCH_RNG, BENCH_GRAD_MODE, BENCH_INTERSECT,
-BENCH_VERIFY=0, BENCH_GOLDEN=0, BENCH_PROFILE=<dir>.
+BENCH_VERIFY=0, BENCH_GOLDEN=0, BENCH_VN=0, BENCH_PROFILE=<dir>.
 """
 
 import json
@@ -38,7 +38,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from inverse_path_tracer_tpu.config import RenderConfig
 from inverse_path_tracer_tpu.render.forward import render_samples
 from inverse_path_tracer_tpu.ops.tonemap import tonemap_mean
-from inverse_path_tracer_tpu.scene.build import load_scene
+from inverse_path_tracer_tpu.scene.build import build_scene, load_scene
+from inverse_path_tracer_tpu.scene.dsl import ObjectParams
 
 REF = "/root/reference"
 BASE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
@@ -164,6 +165,20 @@ def bench_forward_backward(scene, cfg, iters=3):
     dt = min(times)
     log(f"fwd+bwd: {dt:.3f}s best of {iters}, {rays/dt:.3e} rays/s")
     return rays / dt, rays
+
+
+def vn_sphere_scene():
+    """Cornell + 1280-tri vertex-normal sphere (1298 tris): the
+    large-scene workload (VERDICT r1 weak #7) that exercises the
+    cluster-chunked sweep + staged wavefront instead of the dense
+    megakernel."""
+    return build_scene([
+        ObjectParams(pos=(0, 0, 4), scl=(2, 2, 2),
+                     obj_file=f"{REF}/CornellBox/CornellBox-Empty-CO.obj",
+                     mtl_file=f"{REF}/CornellBox/CornellBox-Empty-CO.mtl"),
+        ObjectParams(pos=(0, -1.5, 4), obj_file=f"{REF}/shapes/sphere.obj",
+                     mtl_file="*Kd 0.5 0.5 0.5*"),
+    ])
 
 
 def bench_verify_grad(scene, cfg_base):
@@ -335,6 +350,12 @@ def main():
     if golden:
         golden_stats = section("golden", lambda: bench_golden(cfg))
 
+    vn_rps = None
+    if os.environ.get("BENCH_VN", "1") != "0":
+        vn = section("vn_sphere",
+                     lambda: bench_forward(vn_sphere_scene(), cfg, iters=2))
+        vn_rps = vn[0] if vn else None
+
     roof = section("roofline", lambda: roofline(scene, cfg, fwd_rays, fwd_dt))
 
     # vs_baseline: ratio to this harness's first recorded number.
@@ -359,6 +380,8 @@ def main():
         "inverse_extract_s": inverse_s,
         "inverse_rays_per_sec_equiv": (fwd_rays / inverse_s) if inverse_s else None,
     }
+    if vn_rps is not None:
+        result["vn_sphere_rays_per_sec"] = vn_rps
     if verify:
         result["grad_fd_ok"] = PATHS.get("grad_fd", {}).get("ok", False)
         result["grad_fd_ratio"] = grad_ratio

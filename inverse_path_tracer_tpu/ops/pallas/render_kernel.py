@@ -196,7 +196,11 @@ def _make_geom(tp, pmat, block, min_dot, epsilon, cab=None, cluster_k=0) -> _Geo
         # max over the 3 edge signed distances <= 0 fuses the three
         # per-edge compare+and chains into one compare (NaN rows — from
         # t=inf with b_j=0 — propagate through maximum and fail the
-        # compare, exactly like the per-edge NaN compares did).
+        # compare, exactly like the per-edge NaN compares did).  A/B'd
+        # back-to-back on v5e against three independent compare+and
+        # chains: the fused form is ~1.5x faster on the vn scene (the
+        # tunneled chip's throughput drifts ~20% between sessions, so
+        # only same-process comparisons are trusted).
         sd = jnp.maximum(
             a[k : 2 * k] + t * bb[k : 2 * k],
             jnp.maximum(
@@ -293,12 +297,27 @@ def _make_geom(tp, pmat, block, min_dot, epsilon, cab=None, cluster_k=0) -> _Geo
             )
         return _resolve(t_b, i_b, p, d)
 
+    # The clustered pair intersect has two shapes, IPT_PAIR=union|split
+    # (hardware-tuning gate; both bit-identical to the dense sweep):
+    #   * "union" (default): one fused sweep over (4, 3B) rhs columns
+    #     sharing the origin projection; a cluster is entered when
+    #     EITHER ray's block hits its AABB (union skip mask) and both
+    #     rays' edge tests share the projected-origin rows `a`.
+    #   * "split": TWO independent single sweeps with per-ray skip
+    #     masks.  Hypothesis was that the rays' opposite coherence
+    #     (shadow rays aim at emitters, next rays follow the sampled
+    #     hemisphere) makes the union mask fire nearly every cluster;
+    #     measured back-to-back on v5e (Cornell+sphere 512x512/64spp)
+    #     it LOSES — 15.7M vs union's 18.9M rays/s: the per-ray masks
+    #     don't skip enough extra clusters to pay for doubling the
+    #     slab tests + lax.conds and recomputing `a` per ray.  Kept as
+    #     a measurement gate, not a shipped path.
+
     def _sweep_pair(pdd, p, d1, d2):
         inv1, inv2 = _inv_dir(d1), _inv_dir(d2)
         inf_row = jnp.full((1, block), jnp.inf, jnp.float32)
         zero_row = jnp.zeros((1, block), jnp.float32)
-        st0 = (inf_row, zero_row, inf_row, zero_row)
-        st = st0
+        st = (inf_row, zero_row, inf_row, zero_row)
         for c in range(n_clusters):
             def go(s, c=c):
                 t1b, i1b, t2b, i2b = s
@@ -350,9 +369,20 @@ def _make_geom(tp, pmat, block, min_dot, epsilon, cab=None, cluster_k=0) -> _Geo
         p4 = jnp.concatenate([p, ones_row], axis=0)  # (4, B)
         d14 = jnp.concatenate([d1, zeros_row], axis=0)
         d24 = jnp.concatenate([d2, zeros_row], axis=0)
-        pdd = jnp.concatenate([p4, d14, d24], axis=1)  # (4, 3B)
         if cluster_k:
-            return _sweep_pair(pdd, p, d1, d2)
+            if os.environ.get("IPT_PAIR", "union") == "split":
+                # Two independent sweeps with per-ray skip masks (see
+                # the IPT_PAIR note above `_sweep_pair` — measured
+                # slower; measurement gate only).
+                t1, hit1, idx1_f, _p1 = _sweep_single(
+                    jnp.concatenate([p4, d14], axis=1), p, d1
+                )
+                nxt = _sweep_single(jnp.concatenate([p4, d24], axis=1), p, d2)
+                return (t1, hit1, idx1_f), nxt
+            return _sweep_pair(
+                jnp.concatenate([p4, d14, d24], axis=1), p, d1, d2
+            )
+        pdd = jnp.concatenate([p4, d14, d24], axis=1)  # (4, 3B)
         ab = jnp.dot(pmat, pdd, preferred_element_type=jnp.float32, precision=GEO)
         a = ab[:, :block]
         t1, hit1, idx1_f, _p1 = _finish(a, ab[:, block : 2 * block], p, d1)

@@ -38,6 +38,7 @@ O(tile) instead of O(tile * bounces * nT).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -490,6 +491,17 @@ def _pallas_block(
     scripts/smoke_tpu.py on hardware — the fused-RNG default had always
     masked it), so the block budget caps u_rows*block at 2^19 lanes."""
     tp = max(8, -(-scene.vertices.shape[0] // 8) * 8)
+    ov = int(os.environ.get("IPT_BLOCK", "0"))
+    if ov:
+        # Hardware-tuning override (scripts/bench_scene.py sweeps): must
+        # be a multiple of 128 dividing the tile; VMEM fit is the
+        # caller's responsibility (smoke_tpu.py catches overshoots).
+        if ov % 128 != 0 or tile % ov != 0:
+            raise ValueError(
+                f"IPT_BLOCK={ov} must be a multiple of 128 dividing "
+                f"tile {tile}"
+            )
+        return ov
     cap = 1 << (17 if records else 18)
     budget = max(128, cap // tp)
     if u_rows:
@@ -568,10 +580,14 @@ def _use_staged(cfg: RenderConfig, scene: SceneData) -> bool:
         megakernel wins — 291.6M vs 54.6M rays/s; per-bounce work is so
         cheap that the staged pipeline's host-side lane re-permutation
         between stages costs more than the dead-lane slots it skips.
-      * large scenes (Cornell+sphere, 1298 tris): staged wins — 23.6M
-        vs 16.1M rays/s; per-slot cost scales with Tp, so tracking the
-        Russian-roulette alive curve pays while the fixed permutation
-        overhead stays the same.
+      * large scenes (Cornell+sphere, 1298 tris): staged wins — 18.9M
+        (reproducible across processes) vs 6.4-9.5M rays/s for mega
+        (varies between otherwise-identical runs; Mosaic scheduling of
+        the clustered sweep inside the long fori_loop appears
+        compile-sensitive, while the staged kernel's short 2-bounce
+        stages are stable).  Per-slot cost scales with Tp, so tracking
+        the Russian-roulette alive curve pays while the fixed
+        permutation overhead stays the same.
 
     "auto" picks by the same padded-triangle-count threshold the
     cluster-chunked sweep uses; "mega"/"staged" force either path

@@ -13,7 +13,13 @@ Phases (each timed into artifacts/exp100/metrics.json "recover100"):
      recovered re-renders to artifacts/exp100/recover100_*.png.
 
 Usage: timeout 5400 python scripts/run_recover100.py [--steps 200]
-Knobs: R100_RES (256), R100_SPP (64), R100_STEPS, R100_SCENES (100).
+Knobs: R100_RES (256), R100_SPP (64), R100_STEPS, R100_SCENES (100),
+R100_LR (5e-2).  Because per-step RNG keys are pure functions of
+(key, step), a resumed run continues bit-exactly; resuming past a
+finished schedule with a smaller R100_LR implements a two-phase lr
+decay (the constant-lr Adam walk plateaus at the Monte-Carlo gradient
+noise floor — dropping lr 5x collapses the walk radius around the
+optimum, which is where the per-scene cube Kd error lives).
 """
 
 import argparse
@@ -96,7 +102,8 @@ def main():
         lf.flush()
 
     mats, losses = recover_materials_batched(
-        scenes[0], targets, cfg, steps=args.steps, lr=5e-2,
+        scenes[0], targets, cfg, steps=args.steps,
+        lr=float(os.environ.get("R100_LR", 5e-2)),
         key=jax.random.PRNGKey(0), log_fn=log_fn,
         checkpoint_path=os.path.join(RUN, "ckpt.npz"), checkpoint_every=25,
         resume=True,
