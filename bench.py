@@ -99,7 +99,8 @@ def bench_forward(scene, cfg, iters=3):
         times.append(time.time() - t0)
         rays = float(stats.segments) + float(stats.shadow_rays)
     dt = min(times)
-    log(f"fwd: {dt:.3f}s best of {iters}, rays={rays:.3e}, {rays/dt:.3e} rays/s")
+    log(f"fwd: {dt:.3f}s best of {iters} {[round(t, 3) for t in times]}, "
+        f"rays={rays:.3e}, {rays/dt:.3e} rays/s")
 
     profile_dir = os.environ.get("BENCH_PROFILE")
     if profile_dir:
@@ -108,7 +109,7 @@ def bench_forward(scene, cfg, iters=3):
         with profile_trace(profile_dir):
             jax.block_until_ready(run(scene.diffuse, jax.random.PRNGKey(99)))
         log(f"fwd trace -> {profile_dir}")
-    return rays / dt, rays, dt
+    return rays / dt, rays, dt, times
 
 
 def bench_inverse(scene, cfg, iters=2):
@@ -222,21 +223,23 @@ def bench_verify_grad(scene, cfg_base):
     r_rand, an_r, fd_r = fd_ratio(
         jax.random.normal(jax.random.PRNGKey(12), scene.diffuse.shape)
     )
-    ok = 0.97 < ratio < 1.03
+    # Gate at ~1.5x the measured margin (r03: ratio 1.0000) so a real
+    # precision regression actually bites, not just catastrophes.
+    ok = 0.98 < ratio < 1.02
     log(f"grad verify ({cfg.rng} rng): along g analytic={an:.6e} fd={fd:.6e} "
         f"ratio={ratio:.4f}; random dir ratio={r_rand:.4f} "
         f"-> {'OK' if ok else 'FAIL'}")
     if not ok:
-        raise AssertionError(f"grad FD ratio {ratio:.4f} outside (0.97, 1.03)")
+        raise AssertionError(f"grad FD ratio {ratio:.4f} outside (0.98, 1.02)")
     return ratio, cfg.rng
 
 
 def bench_golden(cfg_base):
     """Live full-resolution golden render: scene 0 at the reference's
     native 500x500/100spp on THIS hardware, pixelwise against the
-    reference's committed ground truth (preds/0_true.png).  Bounds match
-    tests/test_render.py's frozen-artifact gates: mean < 6/255,
-    p99 < 40/255 (Monte-Carlo noise at 100 spp)."""
+    reference's committed ground truth (preds/0_true.png).  Bounds are
+    ~1.3-1.5x the measured r03 margins: mean < 5/255, p99 < 25/255
+    (Monte-Carlo noise at 100 spp measures 3.74/16.0)."""
     import numpy as np
     from PIL import Image
 
@@ -256,7 +259,9 @@ def bench_golden(cfg_base):
     )
     d = np.abs(ref - np.asarray(img8, dtype=np.float32))
     mean, p99 = float(d.mean()), float(np.percentile(d, 99))
-    ok = mean < 6.0 and p99 < 40.0
+    # ~1.3-1.5x the measured margins (r03: mean 3.74, p99 16.0) so a
+    # quality regression of tens of percent fails the gate.
+    ok = mean < 5.0 and p99 < 25.0
     log(f"golden 500x500/100spp: {dt:.1f}s (incl compile), mean|d|={mean:.2f}/255 "
         f"p99={p99:.1f}/255 -> {'OK' if ok else 'FAIL'} ({out_png})")
     if not ok:
@@ -331,7 +336,7 @@ def main():
 
     fwd = section("fwd", lambda: bench_forward(scene, cfg),
                   fallback=lambda: bench_forward(scene, cfg_xla))
-    fwd_rps, fwd_rays, fwd_dt = fwd if fwd else (0.0, 1.0, 1.0)
+    fwd_rps, fwd_rays, fwd_dt = fwd[:3] if fwd else (0.0, 1.0, 1.0)
     fwdbwd = section("fwd_bwd", lambda: bench_forward_backward(scene, cfg),
                      fallback=lambda: bench_forward_backward(scene, cfg_xla))
     fwdbwd_rps = fwdbwd[0] if fwdbwd else 0.0
@@ -350,11 +355,16 @@ def main():
     if golden:
         golden_stats = section("golden", lambda: bench_golden(cfg))
 
-    vn_rps = None
+    vn_rps = vn_spread = None
     if os.environ.get("BENCH_VN", "1") != "0":
+        # best-of-3 + per-iter spread: the tunneled chip drifts ~20%
+        # between sessions, so the spread is recorded to make
+        # round-over-round comparisons of this number interpretable.
         vn = section("vn_sphere",
-                     lambda: bench_forward(vn_sphere_scene(), cfg, iters=2))
-        vn_rps = vn[0] if vn else None
+                     lambda: bench_forward(vn_sphere_scene(), cfg, iters=3))
+        if vn:
+            vn_rps = vn[0]
+            vn_spread = [round(t, 4) for t in vn[3]]
 
     roof = section("roofline", lambda: roofline(scene, cfg, fwd_rays, fwd_dt))
 
@@ -382,6 +392,7 @@ def main():
     }
     if vn_rps is not None:
         result["vn_sphere_rays_per_sec"] = vn_rps
+        result["vn_sphere_seconds_spread"] = vn_spread
     if verify:
         result["grad_fd_ok"] = PATHS.get("grad_fd", {}).get("ok", False)
         result["grad_fd_ratio"] = grad_ratio

@@ -40,6 +40,9 @@ def _cfg_from_args(args):
         grad_mode=args.grad_mode,
         intersect=args.intersect,
         stage_bounces=args.stage_bounces,
+        cluster_k=getattr(args, "cluster_k", 0),
+        pair_sweep=getattr(args, "pair_sweep", "union"),
+        bin_cells=getattr(args, "bin_cells", 2),
     )
 
 
@@ -87,6 +90,12 @@ def _add_render_args(p: argparse.ArgumentParser, width=512, height=512, spp=64):
     p.add_argument("--intersect", default="auto",
                    choices=("auto", "brute", "bvh"),
                    help="XLA-path intersection strategy")
+    p.add_argument("--cluster-k", dest="cluster_k", type=int, default=0,
+                   help="cluster width for the chunked sweep (0 = default)")
+    p.add_argument("--pair-sweep", dest="pair_sweep", default="union",
+                   choices=["union", "split"])
+    p.add_argument("--bin-cells", dest="bin_cells", type=int, default=2,
+                   help="origin-binning cells per axis (staged wavefront)")
     p.add_argument("--stage-bounces", dest="stage_bounces", type=int, default=2,
                    help="bounces per compaction stage (wavefront=staged)")
     p.add_argument("--seed", type=int, default=0)
@@ -367,6 +376,37 @@ def cmd_evaluate(args):
     print(f"wrote {args.out_dir}/ and {args.out_dir}.zip")
 
 
+def cmd_graph_viz(args):
+    """Transport-graph visualization (parity with the reference's
+    committed mesh.ply / lines.ply Open3D artifacts): extract the graph
+    and write a colored scene mesh + a colored edge line-set."""
+    _maybe_cpu(args)
+    import jax
+
+    from inverse_path_tracer_tpu.data.pipeline import load_image01
+    from inverse_path_tracer_tpu.render.inverse import extract_graph
+    from inverse_path_tracer_tpu.scene.build import load_scene
+    from inverse_path_tracer_tpu.utils.plyviz import (
+        write_graph_ply,
+        write_mesh_ply,
+    )
+
+    cfg = _cfg_from_args(args)
+    scene = load_scene(args.scene, asset_root=args.asset_root)
+    target = load_image01(args.image)
+    w, _pixel, _light = extract_graph(
+        scene, target, jax.random.PRNGKey(args.seed), cfg
+    )
+    os.makedirs(args.out_dir, exist_ok=True)
+    mesh_path = os.path.join(args.out_dir, "mesh.ply")
+    lines_path = os.path.join(args.out_dir, "lines.ply")
+    write_mesh_ply(scene, scene.diffuse, mesh_path)
+    n_edges = write_graph_ply(scene, np.asarray(w), lines_path,
+                              p_min=args.p_min)
+    print(f"wrote {mesh_path} ({scene.n_tri} faces) and {lines_path} "
+          f"({n_edges} edges)")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="inverse_path_tracer_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -393,6 +433,19 @@ def main(argv=None):
     pe.add_argument("out")
     _add_render_args(pe)
     pe.set_defaults(fn=cmd_extract_graph)
+
+    pgv = sub.add_parser(
+        "graph-viz",
+        help="transport graph -> colored mesh.ply + lines.ply "
+             "(reference artifact parity)",
+    )
+    pgv.add_argument("scene")
+    pgv.add_argument("image")
+    pgv.add_argument("out_dir")
+    pgv.add_argument("--p-min", type=float, default=1e-3,
+                     help="edge weight threshold (reference ipt.py:26)")
+    _add_render_args(pgv)
+    pgv.set_defaults(fn=cmd_graph_viz)
 
     pt = sub.add_parser("train-gcn", help="train the GCN regressor")
     pt.add_argument("graphs", nargs="+", help="npz files from extract-graph")

@@ -107,26 +107,63 @@ class RenderConfig:
     #                interpreter (used by tests to FD-check fused-mode
     #                gradients off-hardware).
     rng: str = "auto"
-    # Pallas bounce-loop organisation:
-    #   "auto"/"mega" — the whole bounce loop in one kernel per ray
-    #                block; zero orchestration overhead, maximal dead
-    #                work.  This is the shipped path (291.6M rays/s on
-    #                v5e at 512x512/64spp/16b).
-    #   "staged"   — EXPERIMENT (explicit opt-in): staged compaction
-    #                wavefront — the bounce loop runs in stages of
-    #                `stage_bounces`; between stages the lane carry is
-    #                stable-partitioned alive-first so dead lanes
-    #                cluster into trailing ray blocks, whose in-kernel
-    #                while_loop exits immediately.  As measured it LOSES
-    #                to "mega" (54.6M rays/s: the host-side lane
-    #                re-permutation outweighs the dead-lane savings);
-    #                kept as a quarantined ablation with bit-parity
-    #                tests, not a production path.
+    # Pallas bounce-loop organisation.  Both are production paths; the
+    # measured v5e policy (512x512/64spp/16b) is scene-size dependent and
+    # "auto" picks by the same padded-triangle-count threshold as the
+    # cluster-chunked sweep (render/forward.py _use_staged):
+    #   "mega"   — the whole bounce loop in ONE kernel per ray block;
+    #              zero orchestration overhead, maximal dead work.  WINS
+    #              on small scenes (301.8M rays/s on the 30-tri Cornell
+    #              vs staged's 54.6M: per-bounce work is so cheap that
+    #              the host-side lane re-permutation between stages
+    #              costs more than the dead-lane slots it skips).
+    #   "staged" — staged compaction wavefront: the bounce loop runs in
+    #              stages of `stage_bounces`; between stages the lane
+    #              carry is stable-partitioned (alive-first + ray-binned
+    #              on clustered scenes) so dead lanes cluster into
+    #              trailing ray blocks whose in-kernel while_loop exits
+    #              immediately.  WINS on large scenes (Cornell + 1280-tri
+    #              sphere: 18.9M reproducible vs mega's compile-sensitive
+    #              6.4-9.5M — per-slot cost scales with Tp, so tracking
+    #              the alive curve pays and the binned blocks keep the
+    #              cluster-AABB skip firing).
+    #   "auto"   — staged iff the scene is clustered (the default).
+    # Forcing either path is always valid (bit-parity tested); mega is
+    # the oracle for staged in tests.
     wavefront: str = "auto"
     # Bounces per compaction stage (staged wavefront only): smaller
     # tracks the alive decay tighter but pays more partition/launch
     # overhead per tile.
     stage_bounces: int = 2
+    # Cluster-chunked sweep width for large scenes (triangles per
+    # contiguous index-cluster in the Pallas kernels).  0 = the measured
+    # default (ops/pallas/render_kernel.py CLUSTER_K, overridable via
+    # IPT_CLUSTER_K for process-level sweeps).  A static dataclass field
+    # so same-process A/B sweeps participate in jit cache keys — the
+    # only comparison CLAUDE.md trusts on the drifting tunneled chip.
+    cluster_k: int = 0
+    # Pair-intersect organisation for the clustered sweep:
+    #   "union" — one fused sweep over (4, 3B) rhs columns; a cluster is
+    #             entered when EITHER ray's block hits its AABB.  Wins
+    #             at cluster_k=128 (18.9M vs split's 15.7M on the vn
+    #             scene, v5e round 3).
+    #   "split" — two independent single-ray sweeps with per-ray skip
+    #             masks; measurement gate.
+    pair_sweep: str = "union"
+    # Kernel-internal triangle ordering for clustered (large) scenes:
+    #   "morton" — sort triangles by centroid Z-order so contiguous
+    #              clusters are spatially compact patches (tight AABBs
+    #              -> the block-wide cluster skip actually fires).
+    #              Global triangle indices stay the external contract;
+    #              wrappers map index-carrying outputs back.
+    #   "file"   — keep file order (measurement gate / ablation).
+    tri_order: str = "morton"
+    # Origin-cell granularity per axis for the staged wavefront's ray
+    # binning on clustered scenes (render/forward.py _binned_order):
+    # lanes are grouped by direction octant and a bin_cells^3 spatial
+    # grid of their origin so ray blocks stay coherent for the
+    # cluster-AABB skip.
+    bin_cells: int = 2
     # Ray-intersection strategy for the XLA path:
     #   "auto"/"brute" — the dense plane-matmul sweep over all triangles
     #                    (MXU-optimal at the reference's scene sizes and
@@ -135,7 +172,10 @@ class RenderConfig:
     #                    scenes far beyond that regime.  Requires a scene
     #                    with an attached BVH (load_scene(with_bvh=True)
     #                    or ops.bvh.attach_bvh).  The Pallas kernels
-    #                    always use the dense sweep.
+    #                    ignore this knob: they run the dense packed
+    #                    plane-matmul sweep on small scenes and the
+    #                    cluster-chunked AABB sweep (bit-identical; see
+    #                    cluster_k) on large ones.
     intersect: str = "auto"
 
     @property

@@ -36,11 +36,33 @@ def recover_loss(
     return jnp.mean(jnp.abs(img - target01))
 
 
-def make_single_chip_step_fn(scene: SceneData, cfg: RenderConfig, optimizer):
-    """Un-jitted recovery step, composable under jit/lax.map."""
+def make_single_chip_step_fn(
+    scene: SceneData, cfg: RenderConfig, optimizer, n_keys: int = 1
+):
+    """Un-jitted recovery step, composable under jit/lax.map.
+
+    n_keys > 1 averages the loss/gradient over that many independent
+    render keys per step (an on-device lax.map, one optimizer update) —
+    a k-fold cut of the Monte-Carlo gradient variance at k-fold render
+    cost, for configs where the per-step MC noise floor (not the lr
+    schedule) limits recovery quality."""
 
     def step(theta, opt_state, key, target01):
-        loss, grad = jax.value_and_grad(recover_loss)(theta, scene, key, cfg, target01)
+        if n_keys <= 1:
+            loss, grad = jax.value_and_grad(recover_loss)(
+                theta, scene, key, cfg, target01
+            )
+        else:
+            def one(k):
+                return jax.value_and_grad(recover_loss)(
+                    theta, scene, k, cfg, target01
+                )
+
+            keys = jax.vmap(lambda j: jax.random.fold_in(key, j))(
+                jnp.arange(n_keys)
+            )
+            losses, grads = jax.lax.map(one, keys)
+            loss, grad = losses.mean(), grads.mean(axis=0)
         updates, opt_state = optimizer.update(grad, opt_state, theta)
         theta = theta + updates
         return theta, opt_state, loss
@@ -52,7 +74,8 @@ def make_single_chip_step(scene: SceneData, cfg: RenderConfig, optimizer):
     return jax.jit(make_single_chip_step_fn(scene, cfg, optimizer))
 
 
-def make_batched_step(scene: SceneData, cfg: RenderConfig, optimizer, mesh=None):
+def make_batched_step(scene: SceneData, cfg: RenderConfig, optimizer,
+                      mesh=None, n_keys: int = 1):
     """One jitted device program stepping ALL S scenes: the per-scene
     step (optionally ray-sharded over `mesh`) is mapped over the leading
     scene axis with lax.map — scenes run back-to-back on-device in a
@@ -67,7 +90,7 @@ def make_batched_step(scene: SceneData, cfg: RenderConfig, optimizer, mesh=None)
 
         inner = make_recover_step_fn(scene, cfg, mesh, optimizer)
     else:
-        inner = make_single_chip_step_fn(scene, cfg, optimizer)
+        inner = make_single_chip_step_fn(scene, cfg, optimizer, n_keys=n_keys)
 
     @jax.jit
     def step(thetas, opt_states, keys, targets01):
@@ -92,6 +115,7 @@ def recover_materials_batched(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 0,
     resume: bool = False,
+    n_keys: int = 1,
 ) -> Tuple[jnp.ndarray, List[float]]:
     """Batched inverse recovery over S scenes (BASELINE.json configs
     #4/#5).  The reference's 100 scenes share geometry and differ only in
@@ -109,7 +133,7 @@ def recover_materials_batched(
     key = jax.random.PRNGKey(0) if key is None else key
     s = targets01.shape[0]
     opt = optax.adam(lr)
-    step = make_batched_step(scene, cfg, opt, mesh=mesh)
+    step = make_batched_step(scene, cfg, opt, mesh=mesh, n_keys=n_keys)
 
     thetas = jnp.zeros((s,) + scene.diffuse.shape, dtype=jnp.float32)
     states = jax.vmap(opt.init)(thetas)

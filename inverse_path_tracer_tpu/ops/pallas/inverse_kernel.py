@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from inverse_path_tracer_tpu.ops.pallas.render_kernel import (
     GEO,
     PI,
+    _cfg_static,
     _make_geom,
     _make_uniform_stream,
     _pack_tables,
@@ -73,10 +74,11 @@ def _kernel_inv(
     cdf_ref,  # (nE, 1)
     acc_ref,  # out (tpd, N_QUANT*Tp), accumulated across the grid
 ):
-    (max_bounces, p_rr, min_dot, epsilon, _quirks) = cfg_static
+    (max_bounces, p_rr, min_dot, epsilon, _quirks, pair_split) = cfg_static
     block = p_ref.shape[1]
     geom = _make_geom(tp, pmat_ref[:], block, min_dot, epsilon,
-                      cab=cab_ref[:], cluster_k=cluster_k)
+                      cab=cab_ref[:], cluster_k=cluster_k,
+                      pair_split=pair_split)
     table = table_ref[:]
     has_vn = table.shape[0] > 16  # static: 35 rows iff vertex normals
     etab = etab_ref[:]
@@ -259,7 +261,7 @@ def inverse_tile_pallas(
     n_e = scene.emissive_idx.shape[0]
     tile = p.shape[1]
     assert tile % block == 0, (tile, block)
-    tp, pmat, table, etab, cdf, cab, ck = _pack_tables(scene, scene.diffuse)
+    tp, pmat, table, etab, cdf, cab, ck = _pack_tables(scene, scene.diffuse, cfg)
     tpd = _round_up(n_tri + 1, 8)
     if orig is None:
         orig = jnp.zeros((1, tile), jnp.int32)
@@ -274,9 +276,7 @@ def inverse_tile_pallas(
     )
 
     kernel = functools.partial(
-        _kernel_inv, (cfg.max_bounces, cfg.p_rr, cfg.min_dot, cfg.epsilon,
-                      cfg.reference_quirks),
-        tp, tpd, n_tri, n_e, fused_rng, ck,
+        _kernel_inv, _cfg_static(cfg), tp, tpd, n_tri, n_e, fused_rng, ck,
     )
 
     acc = pl.pallas_call(
@@ -304,7 +304,7 @@ def inverse_tile_pallas(
     return acc
 
 
-def grids_from_acc(acc: jnp.ndarray, n_tri: int):
+def grids_from_acc(acc: jnp.ndarray, n_tri: int, perm=None):
     """Raw kernel accumulator -> TransportGrids (render/inverse.py).
 
     SPECULAR channels are exactly zero.  Note one benign difference from
@@ -312,12 +312,20 @@ def grids_from_acc(acc: jnp.ndarray, n_tri: int):
     (both channels), so XLA eye-row indirect edges carry a nonzero
     SPECULAR factors/pixel sum; with P_SPEC = 0 that channel is never
     read by compress (inv_scene.h:87-115 exports DIFFUSE only), so this
-    kernel drops it entirely."""
+    kernel drops it entirely.
+
+    perm (kernel_perm(scene, cfg)) maps the clustered kernels' internal
+    Morton triangle order back to global indices on BOTH grid axes (the
+    eye row, dst == n_tri, is position-invariant)."""
     from inverse_path_tracer_tpu.render.inverse import TransportGrids
 
     tpd, qtp = acc.shape
     tp = qtp // N_QUANT
     a = acc.reshape(tpd, N_QUANT, tp)[: n_tri + 1, :, :n_tri]  # (D, Q, S)
+    if perm is not None:
+        tri = jnp.zeros_like(a[:n_tri]).at[perm].set(a[:n_tri])
+        a = jnp.concatenate([tri, a[n_tri : n_tri + 1]], axis=0)
+        a = jnp.zeros_like(a).at[:, :, perm].set(a)
     flat = lambda x: x.reshape((n_tri + 1) * n_tri)
     w_sum = flat(a[:, 0])
     f0 = flat(a[:, 1])

@@ -131,6 +131,79 @@ CARRY_ROWS = 24
 CLUSTER_K = int(os.environ.get("IPT_CLUSTER_K", 128))
 CLUSTER_MIN_TP = int(os.environ.get("IPT_CLUSTER_MIN_TP", 512))
 
+
+def cluster_k_for(n_tri: int, cfg) -> int:
+    """Resolved cluster width for the chunked sweep (0 = dense).
+
+    cfg.cluster_k overrides the module default (which IPT_CLUSTER_K can
+    set process-wide); as a static RenderConfig field it participates in
+    jit cache keys, so same-process A/B sweeps are sound."""
+    tp8 = _round_up(max(n_tri, 8), 8)
+    if tp8 < CLUSTER_MIN_TP:
+        return 0
+    return cfg.cluster_k or CLUSTER_K
+
+
+def _morton_codes(cent: jnp.ndarray, lo, inv_ext) -> jnp.ndarray:
+    """(nT,) int32 Morton (Z-order) codes of triangle centroids: 10
+    quantized bits per axis, bit-interleaved x|y|z."""
+    q = jnp.clip(((cent - lo) * inv_ext * 1024.0).astype(jnp.int32), 0, 1023)
+
+    def expand(v):  # spread 10 bits to every 3rd position
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    return expand(q[:, 0]) | (expand(q[:, 1]) << 1) | (expand(q[:, 2]) << 2)
+
+
+def _morton_order(scene) -> jnp.ndarray:
+    """(nT,) int32: internal->global triangle order by centroid Morton
+    code (stable, so equal codes keep global order)."""
+    cent = scene.vertices.mean(axis=1)  # (nT, 3)
+    lo = cent.min(axis=0)
+    ext = cent.max(axis=0) - lo
+    inv_ext = 1.0 / jnp.where(ext > 0, ext, 1.0)
+    return jnp.argsort(_morton_codes(cent, lo, inv_ext), stable=True)
+
+
+def kernel_perm(scene, cfg):
+    """Internal->global triangle order for the clustered kernels, or
+    None (dense scenes keep global order).
+
+    The cluster-chunked sweep skips a cluster when no ray in the block
+    hits its AABB, so skip quality is set by how COMPACT cluster AABBs
+    are.  Mesh files emit index-contiguous but spatially *striped* runs
+    (a lat-long sphere's rings each span the full circumference: a
+    128-triangle run is a thin slab as wide as the whole object, which
+    every nearby ray's interval hits).  Sorting triangles by the Morton
+    code of their centroid makes contiguous runs spatially compact 3-D
+    patches, so far fewer clusters are entered per block.
+
+    The permutation is kernel-INTERNAL: global triangle indices remain
+    the behavioral contract everywhere outside (`order[i]` = the global
+    index living at kernel row i; wrappers map material gradients and
+    transport grids back with `order`).  In-kernel tie-breaking resolves
+    to the lowest INTERNAL index; exact-t ties between distinct
+    triangles are measure-zero (shared-edge hits).
+
+    NOTE on parity contracts for clustered/vn scenes: grazing
+    re-intersections on curved geometry (a bounce ray leaving the
+    surface and re-hitting it just past EPSILON) can put two
+    triangles' hit resolutions within an ulp of each other, where the
+    winner depends on compiler instruction selection (FMA contraction)
+    — two compilations of the SAME math can disagree, independent of
+    this permutation.  Flat-scene tests keep the bitwise XLA<->Pallas
+    contract; vn-scene tests bound the (benign, ~1e-2 of lanes)
+    knife-edge attribution flips instead (tests/test_pallas.py)."""
+    if cluster_k_for(scene.vertices.shape[0], cfg) == 0:
+        return None
+    if getattr(cfg, "tri_order", "morton") != "morton":
+        return None
+    return _morton_order(scene)
+
 # pl is imported lazily so CPU-only environments without pallas work.
 try:
     from jax.experimental import pallas as pl
@@ -180,7 +253,8 @@ class _Geom(NamedTuple):
     zeros_row: jnp.ndarray
 
 
-def _make_geom(tp, pmat, block, min_dot, epsilon, cab=None, cluster_k=0) -> _Geom:
+def _make_geom(tp, pmat, block, min_dot, epsilon, cab=None, cluster_k=0,
+               pair_split=False) -> _Geom:
     ones_row = jnp.ones((1, block), dtype=jnp.float32)
     zeros_row = jnp.zeros((1, block), dtype=jnp.float32)
     iota_t = jax.lax.broadcasted_iota(jnp.int32, (tp, block), 0)
@@ -297,8 +371,9 @@ def _make_geom(tp, pmat, block, min_dot, epsilon, cab=None, cluster_k=0) -> _Geo
             )
         return _resolve(t_b, i_b, p, d)
 
-    # The clustered pair intersect has two shapes, IPT_PAIR=union|split
-    # (hardware-tuning gate; both bit-identical to the dense sweep):
+    # The clustered pair intersect has two shapes, cfg.pair_sweep =
+    # union|split (hardware-tuning gate; both bit-identical to the dense
+    # sweep):
     #   * "union" (default): one fused sweep over (4, 3B) rhs columns
     #     sharing the origin projection; a cluster is entered when
     #     EITHER ray's block hits its AABB (union skip mask) and both
@@ -370,10 +445,10 @@ def _make_geom(tp, pmat, block, min_dot, epsilon, cab=None, cluster_k=0) -> _Geo
         d14 = jnp.concatenate([d1, zeros_row], axis=0)
         d24 = jnp.concatenate([d2, zeros_row], axis=0)
         if cluster_k:
-            if os.environ.get("IPT_PAIR", "union") == "split":
+            if pair_split:
                 # Two independent sweeps with per-ray skip masks (see
-                # the IPT_PAIR note above `_sweep_pair` — measured
-                # slower; measurement gate only).
+                # the pair_sweep note above `_sweep_pair` — measured
+                # slower at cluster_k=128; measurement gate only).
                 t1, hit1, idx1_f, _p1 = _sweep_single(
                     jnp.concatenate([p4, d14], axis=1), p, d1
                 )
@@ -490,10 +565,10 @@ def _make_bounce(cfg_static, tp, n_emissive, no_spec, pmat, table, etab, cdf,
     The shading normal is then barycentric-interpolated at each hit
     (Triangle::getNormal), while direction sampling still rotates around
     the FACE normal (path_trace.cu:134 uses tri->normal)."""
-    (max_bounces, p_rr, min_dot, epsilon, quirks) = cfg_static
+    (max_bounces, p_rr, min_dot, epsilon, quirks, pair_split) = cfg_static
     has_vn = table.shape[0] > 16  # static: 35 rows iff vertex normals
     geom = _make_geom(tp, pmat, block, min_dot, epsilon, cab=cab,
-                      cluster_k=cluster_k)
+                      cluster_k=cluster_k, pair_split=pair_split)
     intersect = geom.intersect
     intersect_pair = geom.intersect_pair
     normalize3 = geom.normalize3
@@ -833,7 +908,7 @@ def _kernel_bwd(
         pmat_ref[:], table_ref[:], etab_ref[:], cdf_ref[:], block,
         cab=cab_ref[:], cluster_k=cluster_k,
     )
-    (max_bounces, _p_rr, _min_dot, _eps, quirks) = cfg_static
+    (max_bounces, _p_rr, _min_dot, _eps, quirks, _pair) = cfg_static
     draw = _make_uniform_stream(fused_rng, u_ref, orig_ref, block)
 
     # Pass 1: forward replay, records to VMEM scratch (never HBM).
@@ -1118,7 +1193,7 @@ def _kernel_stage_reverse(
 # ---------------------------------------------------------------------------
 
 
-def _pack_tables(scene, materials):
+def _pack_tables(scene, materials, cfg=None):
     """Padded device tables shared by both kernels.
 
     Returns (tp, pmat (4*Tp,4), table (16|35,Tp), etab (17|27,nE),
@@ -1144,29 +1219,44 @@ def _pack_tables(scene, materials):
     [lo xyz, hi xyz, pad, pad].  Also returns cluster_k (0 = dense)."""
     n_tri = scene.vertices.shape[0]
     tp = _round_up(max(n_tri, 8), 8)
-    cluster_k = CLUSTER_K if tp >= CLUSTER_MIN_TP else 0
+    cluster_k = (cluster_k_for(n_tri, cfg) if cfg is not None
+                 else (CLUSTER_K if tp >= CLUSTER_MIN_TP else 0))
     if cluster_k:
         tp = _round_up(n_tri, cluster_k)
-    planes = scene.plane_mat.reshape(4, n_tri, 4).transpose(2, 1, 0)  # (pl,tri,co)
+    # Morton-order internal permutation (see kernel_perm): kernel row i
+    # holds global triangle order[i]; emissive-identity comparisons use
+    # internal indices, wrappers map the material-gradient /
+    # transport-grid outputs back.
+    perm = (kernel_perm(scene, cfg) if cfg is not None
+            else (_morton_order(scene) if cluster_k else None))
+    if perm is not None:
+        order = perm
+        e_idx_f = jnp.argsort(perm)[scene.emissive_idx].astype(jnp.float32)
+    else:
+        order = slice(None)
+        e_idx_f = scene.emissive_idx.astype(jnp.float32)
+    vertices = scene.vertices[order]
+    planes = scene.plane_mat.reshape(4, n_tri, 4).transpose(2, 1, 0)[:, order]
     pad = jnp.zeros((tp - n_tri, 4), jnp.float32)
     pmat = jnp.concatenate(
         [jnp.concatenate([planes[j], pad], axis=0) for j in range(4)], axis=0
     )  # (4*Tp, 4)
     has_vn = scene.vertex_normals.shape[1] != 0
-    kd_hi = materials.astype(jnp.bfloat16).astype(jnp.float32)
-    kd_lo = materials - kd_hi
+    mats_o = materials[order]
+    kd_hi = mats_o.astype(jnp.bfloat16).astype(jnp.float32)
+    kd_lo = mats_o - kd_hi
     cols = [
-        scene.emission,
-        scene.specular,
-        scene.shininess[:, None],
-        scene.face_normal,
+        scene.emission[order],
+        scene.specular[order],
+        scene.shininess[order][:, None],
+        scene.face_normal[order],
         kd_hi,
     ]
     if has_vn:
         cols += [
-            scene.vertices.reshape(n_tri, 9),
-            scene.vertex_normals.reshape(n_tri, 9),
-            scene.area[:, None],
+            vertices.reshape(n_tri, 9),
+            scene.vertex_normals[order].reshape(n_tri, 9),
+            scene.area[order][:, None],
         ]
     cols.append(kd_lo)  # always the last 3 rows
     table = jnp.concatenate(cols, axis=1).T  # (16|35, nT)
@@ -1178,7 +1268,7 @@ def _pack_tables(scene, materials):
         ev,
         scene.emission[scene.emissive_idx],
         scene.face_normal[scene.emissive_idx],
-        scene.emissive_idx.astype(jnp.float32)[:, None],
+        e_idx_f[:, None],
         scene.emissive_p[:, None],
     ]
     if has_vn:
@@ -1189,8 +1279,8 @@ def _pack_tables(scene, materials):
     etab = jnp.concatenate(ecols, axis=1).T  # (17|27, nE)
     cdf = scene.emissive_cdf[:, None]  # (nE, 1)
     if cluster_k:
-        lo_t = scene.vertices.min(axis=1)  # (nT, 3)
-        hi_t = scene.vertices.max(axis=1)
+        lo_t = vertices.min(axis=1)  # (nT, 3)
+        hi_t = vertices.max(axis=1)
         # Pad rows with +inf/-inf so they never extend a cluster's box
         # (every cluster holds >= 1 real triangle by construction).
         lo_t = jnp.concatenate(
@@ -1213,9 +1303,17 @@ def _pack_tables(scene, materials):
     return tp, pmat, table, etab, cdf, cab, cluster_k
 
 
+def unperm_rows(d: jnp.ndarray, perm) -> jnp.ndarray:
+    """Map (nT, ...) kernel-internal-order rows back to global triangle
+    order (no-op when perm is None): row perm[i] <- internal row i."""
+    if perm is None:
+        return d
+    return jnp.zeros_like(d).at[perm].set(d)
+
+
 def _cfg_static(cfg):
     return (cfg.max_bounces, cfg.p_rr, cfg.min_dot, cfg.epsilon,
-            cfg.reference_quirks)
+            cfg.reference_quirks, cfg.pair_sweep == "split")
 
 
 def _u_spec_and_arg(uniforms, keys, ray_spec, rows):
@@ -1259,7 +1357,7 @@ def render_tile_pallas(
     n_e = scene.emissive_idx.shape[0]
     tile = p.shape[1]
     assert tile % block == 0, (tile, block)
-    tp, pmat, table, etab, cdf, cab, ck = _pack_tables(scene, materials)
+    tp, pmat, table, etab, cdf, cab, ck = _pack_tables(scene, materials, cfg)
     if orig is None:
         orig = jnp.zeros((1, tile), jnp.int32)
 
@@ -1323,7 +1421,7 @@ def grad_tile_pallas(
     n_e = scene.emissive_idx.shape[0]
     tile = p.shape[1]
     assert tile % block == 0, (tile, block)
-    tp, pmat, table, etab, cdf, cab, ck = _pack_tables(scene, materials)
+    tp, pmat, table, etab, cdf, cab, ck = _pack_tables(scene, materials, cfg)
     if orig is None:
         orig = jnp.zeros((1, tile), jnp.int32)
 
@@ -1366,7 +1464,7 @@ def grad_tile_pallas(
         ],
         interpret=interpret,
     )(p, d, alive, g, orig, u_arg, pmat, cab, table, etab, cdf)
-    return dmats[:, :n_tri].T  # (nT, 3)
+    return unperm_rows(dmats[:, :n_tri].T, kernel_perm(scene, cfg))  # (nT, 3)
 
 
 def render_tile_pallas_rec(
@@ -1392,7 +1490,7 @@ def render_tile_pallas_rec(
     n_e = scene.emissive_idx.shape[0]
     tile = p.shape[1]
     assert tile % block == 0, (tile, block)
-    tp, pmat, table, etab, cdf, cab, ck = _pack_tables(scene, materials)
+    tp, pmat, table, etab, cdf, cab, ck = _pack_tables(scene, materials, cfg)
     if orig is None:
         orig = jnp.zeros((1, tile), jnp.int32)
 
@@ -1445,6 +1543,8 @@ def reverse_tile_pallas(
     g: jnp.ndarray,  # (3, tile) radiance cotangent
     block: int = 2048,
     interpret: bool = False,
+    perm=None,  # kernel_perm(scene, cfg) when the records came from a
+    # clustered (internally permuted) forward kernel
 ) -> jnp.ndarray:
     """Material gradient (nT, 3) from streamed records — the reverse
     suffix recursion alone, no geometry, no scene tables, no replay."""
@@ -1470,7 +1570,7 @@ def reverse_tile_pallas(
         out_shape=jax.ShapeDtypeStruct((3, tp), jnp.float32),
         interpret=interpret,
     )(g, rec)
-    return dmats[:, :n_tri].T  # (nT, 3)
+    return unperm_rows(dmats[:, :n_tri].T, perm)  # (nT, 3)
 
 
 def init_tile_pallas(
@@ -1487,7 +1587,7 @@ def init_tile_pallas(
     lane carry."""
     tile = p.shape[1]
     assert tile % block == 0, (tile, block)
-    tp, pmat, _table, _etab, _cdf, cab, ck = _pack_tables(scene, materials)
+    tp, pmat, _table, _etab, _cdf, cab, ck = _pack_tables(scene, materials, cfg)
 
     grid = (tile // block,)
     ray_spec = lambda rows: pl.BlockSpec(
@@ -1527,7 +1627,7 @@ def stage_tile_pallas(
     n_e = scene.emissive_idx.shape[0]
     tile = carry.shape[1]
     assert tile % block == 0, (tile, block)
-    tp, pmat, table, etab, cdf, cab, ck = _pack_tables(scene, materials)
+    tp, pmat, table, etab, cdf, cab, ck = _pack_tables(scene, materials, cfg)
     start = jnp.asarray(start_bounce, jnp.int32).reshape((1,))
 
     grid = (tile // block,)
@@ -1585,7 +1685,9 @@ def stage_reverse_tile_pallas(
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Suffix recursion over one stage's records.  Returns
-    (dmats (nT, 3) partial material cotangent, suf_out (4, tile))."""
+    (dmats (nT, 3) partial material cotangent in the forward kernel's
+    INTERNAL row order — the caller un-permutes the per-tile sum once
+    via unperm_rows — and suf_out (4, tile))."""
     tile = g.shape[1]
     assert tile % block == 0, (tile, block)
     tp = _round_up(max(n_tri, 8), 8)

@@ -491,15 +491,20 @@ def _pallas_block(
     scripts/smoke_tpu.py on hardware — the fused-RNG default had always
     masked it), so the block budget caps u_rows*block at 2^19 lanes."""
     tp = max(8, -(-scene.vertices.shape[0] // 8) * 8)
-    ov = int(os.environ.get("IPT_BLOCK", "0"))
+    # Hardware-tuning overrides (scripts/bench_scene.py sweeps): scoped
+    # per kernel family — the backward/records kernels have HALF the
+    # forward VMEM budget, so a forward-tuned IPT_BLOCK left in the
+    # environment must not leak into them (it would VMEM-OOM only on
+    # hardware).  IPT_BLOCK applies to forward-budget kernels only;
+    # IPT_BLOCK_BWD to the records/backward family.
+    ov = int(os.environ.get("IPT_BLOCK_BWD" if records else "IPT_BLOCK", "0"))
     if ov:
-        # Hardware-tuning override (scripts/bench_scene.py sweeps): must
-        # be a multiple of 128 dividing the tile; VMEM fit is the
+        # Must be a multiple of 128 dividing the tile; VMEM fit is the
         # caller's responsibility (smoke_tpu.py catches overshoots).
         if ov % 128 != 0 or tile % ov != 0:
             raise ValueError(
-                f"IPT_BLOCK={ov} must be a multiple of 128 dividing "
-                f"tile {tile}"
+                f"IPT_BLOCK{'_BWD' if records else ''}={ov} must be a "
+                f"multiple of 128 dividing tile {tile}"
             )
         return ov
     cap = 1 << (17 if records else 18)
@@ -599,11 +604,10 @@ def _use_staged(cfg: RenderConfig, scene: SceneData) -> bool:
         )
     if cfg.wavefront == "auto":
         from inverse_path_tracer_tpu.ops.pallas.render_kernel import (
-            CLUSTER_MIN_TP,
+            cluster_k_for,
         )
 
-        tp = -(-max(scene.vertices.shape[0], 8) // 8) * 8
-        return tp >= CLUSTER_MIN_TP
+        return cluster_k_for(scene.vertices.shape[0], cfg) > 0
     return cfg.wavefront == "staged"
 
 
@@ -628,22 +632,25 @@ def _alive_first_order(alive: jnp.ndarray) -> jnp.ndarray:
     return order
 
 
-def _binned_order(carry: jnp.ndarray, center: jnp.ndarray) -> jnp.ndarray:
+def _binned_order(
+    carry: jnp.ndarray, lo: jnp.ndarray, inv_ext: jnp.ndarray, cells: int
+) -> jnp.ndarray:
     """Alive-first + ray-binned stable permutation for the staged
     wavefront on clustered (large) scenes.
 
-    Key = dead·64 + direction-octant·8 + origin-cell: alive lanes still
-    pack strictly before dead ones (the dead-block early exit and the
-    bitwise staged≡mega contract only need that — per-lane arithmetic
-    is lane-order independent), but within the alive prefix lanes are
-    grouped by the sign octant of their next direction and the scene
-    half-space cell of their next origin.  Ray blocks then see
-    directionally/spatially coherent rays, which is what lets the
-    cluster sweep's block-wide AABB slab skip (`ops/pallas/
-    render_kernel.py _sweep_*`, a lax.cond over max-over-lanes) actually
-    fire: with unbinned blocks one stray lane forces every cluster.
-    Classic wavefront ray binning (cf. the reference's free per-thread
-    divergence, path_trace.cu:175-181) expressed as one XLA sort key."""
+    Key = ((dead · 8 + direction-octant) · cells³) + origin-cell: alive
+    lanes still pack strictly before dead ones (the dead-block early
+    exit and the bitwise staged≡mega contract only need that — per-lane
+    arithmetic is lane-order independent), but within the alive prefix
+    lanes are grouped by the sign octant of their next direction and a
+    cells³ spatial grid of their next origin (cfg.bin_cells per axis).
+    Ray blocks then see directionally/spatially coherent rays, which is
+    what lets the cluster sweep's block-wide AABB slab skip
+    (`ops/pallas/render_kernel.py _sweep_*`, a lax.cond over
+    max-over-lanes) actually fire: with unbinned blocks one stray lane
+    forces every cluster.  Classic wavefront ray binning (cf. the
+    reference's free per-thread divergence, path_trace.cu:175-181)
+    expressed as one XLA sort key."""
     alive = carry[_CAR_ALIVE]
     d = carry[0:3]
     p = carry[3:6]
@@ -654,12 +661,14 @@ def _binned_order(carry: jnp.ndarray, center: jnp.ndarray) -> jnp.ndarray:
         + 2 * (d[1] > 0).astype(jnp.int32)
         + 4 * (d[2] > 0).astype(jnp.int32)
     )
-    cell = (
-        (p[0] > center[0]).astype(jnp.int32)
-        + 2 * (p[1] > center[1]).astype(jnp.int32)
-        + 4 * (p[2] > center[2]).astype(jnp.int32)
-    )
-    key = dead * 64 + octant * 8 + cell
+    cidx = jnp.clip(
+        ((p - lo[:, None]) * inv_ext[:, None] * cells).astype(jnp.int32),
+        0,
+        cells - 1,
+    )  # (3, n)
+    cell = cidx[0] + cells * (cidx[1] + cells * cidx[2])
+    n_cells = cells ** 3
+    key = (dead * 8 + octant) * n_cells + cell
     _, order = jax.lax.sort(
         (key, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True
     )
@@ -727,18 +736,20 @@ def _staged_tile_fwd(
             )
 
     from inverse_path_tracer_tpu.ops.pallas.render_kernel import (
-        CLUSTER_MIN_TP,
+        cluster_k_for,
     )
 
-    clustered = -(-max(scene.vertices.shape[0], 8) // 8) * 8 >= CLUSTER_MIN_TP
+    clustered = cluster_k_for(scene.vertices.shape[0], cfg) > 0
     if clustered:
         v = scene.vertices.reshape(-1, 3)
-        center = 0.5 * (v.min(axis=0) + v.max(axis=0))
+        lo = v.min(axis=0)
+        ext = v.max(axis=0) - lo
+        inv_ext = 1.0 / jnp.where(ext > 0, ext, 1.0)
 
     def stage_body(st, s):
         carry, orig = st
         if clustered:
-            order = _binned_order(carry, center)
+            order = _binned_order(carry, lo, inv_ext, cfg.bin_cells)
         else:
             order = _alive_first_order(carry[_CAR_ALIVE])
         carry = carry[:, order]
@@ -809,6 +820,7 @@ def _staged_tile_reverse(
     tile_start: jnp.ndarray,
     block: int,
     interpret: bool,
+    perm=None,  # kernel_perm(scene, cfg): internal->global triangle map
 ) -> jnp.ndarray:
     """Staged suffix recursion (reverse bounce order): one
     stage_reverse kernel per stage, the (suf, esc) rows re-permuted to
@@ -816,6 +828,7 @@ def _staged_tile_reverse(
     material cotangent for the tile."""
     from inverse_path_tracer_tpu.ops.pallas.render_kernel import (
         stage_reverse_tile_pallas,
+        unperm_rows,
     )
 
     k, _ = _stage_plan(cfg)
@@ -838,7 +851,7 @@ def _staged_tile_reverse(
         jnp.zeros((n_tri, 3), jnp.float32),
     )
     (_suf, dmats), _ = jax.lax.scan(rev_body, init, ys, reverse=True)
-    return dmats
+    return unperm_rows(dmats, perm)
 
 
 def _grad_range_staged(
@@ -864,6 +877,9 @@ def _grad_range_staged(
         scene, tile, records=True, u_rows=0 if fused_rng else k * 8
     )
     n_tri = scene.vertices.shape[0]
+    from inverse_path_tracer_tpu.ops.pallas.render_kernel import kernel_perm
+
+    perm = kernel_perm(scene, cfg)
     g_pad = jnp.concatenate(
         [g_vals, jnp.zeros((n_tiles * tile - count, 3), g_vals.dtype)], axis=0
     ).reshape(n_tiles, tile, 3)
@@ -875,7 +891,7 @@ def _grad_range_staged(
             fused_rng, with_rec=True,
         )
         return _staged_tile_reverse(
-            n_tri, cfg, g_tile.T, ys, tile_start, block, interpret
+            n_tri, cfg, g_tile.T, ys, tile_start, block, interpret, perm=perm
         )
 
     starts = start + jnp.arange(n_tiles, dtype=jnp.int32) * tile
@@ -993,6 +1009,7 @@ def loss_and_grad_range(
         return loss, g_mats, stats
 
     from inverse_path_tracer_tpu.ops.pallas.render_kernel import (
+        kernel_perm,
         render_tile_pallas_rec,
         reverse_tile_pallas,
     )
@@ -1000,6 +1017,7 @@ def loss_and_grad_range(
     n_tri = scene.vertices.shape[0]
     interpret = jax.default_backend() != "tpu"
     fused_rng = _pallas_fused_rng(cfg, interpret)
+    perm = kernel_perm(scene, cfg)
     staged = _use_staged(cfg, scene)
     k, _n_stages = _stage_plan(cfg)
     block = _pallas_block(
@@ -1017,7 +1035,7 @@ def loss_and_grad_range(
             lt, vjp = jax.vjp(lambda r: tile_post(r.T, tile_start), rad)
             (g,) = vjp(jnp.ones_like(lt))
             dm = _staged_tile_reverse(
-                n_tri, cfg, g, ys, tile_start, block, interpret
+                n_tri, cfg, g, ys, tile_start, block, interpret, perm=perm
             )
             return (loss + lt, dmats + dm, segs + sg, shadows + sh), None
         idx = tile_start + jnp.arange(tile, dtype=jnp.int32)
@@ -1041,7 +1059,7 @@ def loss_and_grad_range(
         lt, vjp = jax.vjp(lambda r: tile_post(r.T, tile_start), rad)
         (g,) = vjp(jnp.ones_like(lt))
         dm = reverse_tile_pallas(
-            n_tri, cfg, rec, g, block=block, interpret=interpret
+            n_tri, cfg, rec, g, block=block, interpret=interpret, perm=perm
         )
         return (
             loss + lt,

@@ -274,6 +274,7 @@ def _trace_transport_range_pallas(
         grids_from_acc,
         inverse_tile_pallas,
     )
+    from inverse_path_tracer_tpu.ops.pallas.render_kernel import kernel_perm
     from inverse_path_tracer_tpu.render.forward import _pallas_block, _pallas_keys
 
     n_tri = scene.n_tri
@@ -314,7 +315,9 @@ def _trace_transport_range_pallas(
 
     starts = start + jnp.arange(n_tiles, dtype=jnp.int32) * tile
     accs = jax.lax.map(tile_fn, starts)
-    return grids_from_acc(jnp.sum(accs, axis=0), n_tri)
+    return grids_from_acc(
+        jnp.sum(accs, axis=0), n_tri, perm=kernel_perm(scene, cfg)
+    )
 
 
 def trace_transport_range(

@@ -13,8 +13,12 @@ Phases (each timed into artifacts/exp100/metrics.json "recover100"):
      recovered re-renders to artifacts/exp100/recover100_*.png.
 
 Usage: timeout 5400 python scripts/run_recover100.py [--steps 200]
-Knobs: R100_RES (256), R100_SPP (64), R100_STEPS, R100_SCENES (100),
-R100_LR (5e-2).  Because per-step RNG keys are pure functions of
+Knobs: R100_RES (256), R100_SPP (64), R100_TARGET_SPP (= R100_SPP),
+R100_KEYS (1; gradient keys averaged per step), R100_STEPS,
+R100_SCENES (100), R100_LR (5e-2), R100_RUN (run-dir/metrics tag,
+default "recover100" — use a fresh tag for diagnostic configs so they
+don't resume the production checkpoint).
+Because per-step RNG keys are pure functions of
 (key, step), a resumed run continues bit-exactly; resuming past a
 finished schedule with a smaller R100_LR implements a two-phase lr
 decay (the constant-lr Adam walk plateaus at the Monte-Carlo gradient
@@ -42,7 +46,8 @@ from inverse_path_tracer_tpu.data.pipeline import load_image01
 
 REF = "/root/reference"
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-RUN = os.path.join(ROOT, "runs", "recover100")
+TAG = os.environ.get("R100_RUN", "recover100")
+RUN = os.path.join(ROOT, "runs", TAG)
 ART = os.path.join(ROOT, "artifacts", "exp100")
 
 
@@ -57,14 +62,19 @@ def main():
     args = ap.parse_args()
     res = int(os.environ.get("R100_RES", 256))
     spp = int(os.environ.get("R100_SPP", 64))
+    target_spp = int(os.environ.get("R100_TARGET_SPP", spp))
+    n_keys = int(os.environ.get("R100_KEYS", 1))
     n = int(os.environ.get("R100_SCENES", 100))
     cfg = RenderConfig(width=res, height=res, spp=spp, max_bounces=16,
                        tile_size=1 << 16)
+    target_cfg = cfg.with_(spp=target_spp)
     os.makedirs(RUN, exist_ok=True)
-    log(f"devices: {jax.devices()}; {n} scenes at {res}x{res}/{spp}spp, "
-        f"{args.steps} steps")
+    log(f"devices: {jax.devices()}; {n} scenes at {res}x{res}/{spp}spp "
+        f"(targets {target_spp}spp, {n_keys} grad keys/step), "
+        f"{args.steps} steps -> {RUN}")
 
     metrics = {"config": {"n": n, "res": res, "spp": spp,
+                          "target_spp": target_spp, "n_keys": n_keys,
                           "steps": args.steps,
                           "devices": [str(d) for d in jax.devices()]}}
 
@@ -79,7 +89,7 @@ def main():
         scenes.append(scene)
         if not os.path.exists(p):
             render_to_png(scene.diffuse, scene, jax.random.fold_in(key, i),
-                          cfg, p)
+                          target_cfg, p)
         if i % 20 == 0:
             log(f"target {i} done ({time.time()-t0:.0f}s)")
     metrics["targets_wall_s"] = round(time.time() - t0, 1)
@@ -106,7 +116,7 @@ def main():
         lr=float(os.environ.get("R100_LR", 5e-2)),
         key=jax.random.PRNGKey(0), log_fn=log_fn,
         checkpoint_path=os.path.join(RUN, "ckpt.npz"), checkpoint_every=25,
-        resume=True,
+        resume=True, n_keys=n_keys,
     )
     lf.close()
     metrics["recover_wall_s"] = round(time.time() - t0, 1)
@@ -127,19 +137,21 @@ def main():
     # --- Phase 3: sample re-renders ---
     t0 = time.time()
     for i in (0, 50, 99):
+        if i >= n:
+            continue
         render_to_png(jnp.asarray(mats_np[i]), scenes[i],
                       jax.random.fold_in(key, 10_000 + i), cfg,
-                      os.path.join(ART, f"recover100_{i}_pred.png"))
+                      os.path.join(ART, f"{TAG}_{i}_pred.png"))
         render_to_png(scenes[i].diffuse, scenes[i],
                       jax.random.fold_in(key, 10_000 + i), cfg,
-                      os.path.join(ART, f"recover100_{i}_true.png"))
+                      os.path.join(ART, f"{TAG}_{i}_true.png"))
     metrics["rerender_wall_s"] = round(time.time() - t0, 1)
 
     # Merge into the exp100 metrics file.
     mpath = os.path.join(ART, "metrics.json")
     with open(mpath) as f:
         all_m = json.load(f)
-    all_m["recover100"] = metrics
+    all_m[TAG] = metrics
     with open(mpath, "w") as f:
         json.dump(all_m, f, indent=1)
     print(json.dumps(metrics), flush=True)
