@@ -322,13 +322,15 @@ def main():
     rng = os.environ.get("BENCH_RNG", "auto")
     grad_mode = os.environ.get("BENCH_GRAD_MODE", "custom")
     intersect = os.environ.get("BENCH_INTERSECT", "auto")
+    stage_loop = os.environ.get("BENCH_STAGE_LOOP", "fori")
+    cluster_k = int(os.environ.get("BENCH_CLUSTER_K", 0))
 
     log(f"devices: {jax.devices()}")
     scene = load_scene(os.path.join(REF, "scenes/0.txt"), asset_root=REF)
     cfg = RenderConfig(
         width=width, height=height, spp=spp, max_bounces=bounces, tile_size=tile,
         backend=backend, wavefront=wavefront, rng=rng, grad_mode=grad_mode,
-        intersect=intersect,
+        intersect=intersect, stage_loop=stage_loop, cluster_k=cluster_k,
     )
     cfg_xla = cfg.with_(backend="xla")
     log(f"config: {width}x{height} {spp}spp {bounces} bounces tile={tile} "
@@ -366,6 +368,29 @@ def main():
             vn_rps = vn[0]
             vn_spread = [round(t, 4) for t in vn[3]]
 
+        vn_inv_s = section(
+            "vn_inverse",
+            lambda: bench_inverse(vn_sphere_scene(), cfg, iters=2),
+        )
+        if vn_inv_s is not None:
+            result_vn_inv = vn_inv_s
+        else:
+            result_vn_inv = None
+        # Records-path vs XLA-oracle extraction ratio at a reduced config
+        # (the XLA segment-matmul path is O(nT^2) per lane — running it
+        # at the full bench config would take minutes).
+        def vn_inv_ratio():
+            sc = vn_sphere_scene()
+            small = cfg.with_(width=128, height=128, spp=8)
+            t_rec = bench_inverse(sc, small, iters=2)
+            t_xla = bench_inverse(sc, small.with_(backend="xla"), iters=1)
+            log(f"vn inverse 128x128/8spp: records {t_rec:.2f}s vs XLA "
+                f"{t_xla:.2f}s -> {t_xla/t_rec:.1f}x")
+            return t_xla / t_rec
+        vn_inv_x = section("vn_inverse_ratio", vn_inv_ratio)
+    else:
+        result_vn_inv = vn_inv_x = None
+
     roof = section("roofline", lambda: roofline(scene, cfg, fwd_rays, fwd_dt))
 
     # vs_baseline: ratio to this harness's first recorded number.
@@ -393,6 +418,10 @@ def main():
     if vn_rps is not None:
         result["vn_sphere_rays_per_sec"] = vn_rps
         result["vn_sphere_seconds_spread"] = vn_spread
+    if result_vn_inv is not None:
+        result["vn_inverse_extract_s"] = result_vn_inv
+    if vn_inv_x is not None:
+        result["vn_inverse_speedup_vs_xla"] = vn_inv_x
     if verify:
         result["grad_fd_ok"] = PATHS.get("grad_fd", {}).get("ok", False)
         result["grad_fd_ratio"] = grad_ratio

@@ -43,6 +43,8 @@ def _cfg_from_args(args):
         cluster_k=getattr(args, "cluster_k", 0),
         pair_sweep=getattr(args, "pair_sweep", "union"),
         bin_cells=getattr(args, "bin_cells", 2),
+        stage_loop=getattr(args, "stage_loop", "fori"),
+        tri_order=getattr(args, "tri_order", "morton"),
     )
 
 
@@ -96,8 +98,14 @@ def _add_render_args(p: argparse.ArgumentParser, width=512, height=512, spp=64):
                    choices=["union", "split"])
     p.add_argument("--bin-cells", dest="bin_cells", type=int, default=2,
                    help="origin-binning cells per axis (staged wavefront)")
-    p.add_argument("--stage-bounces", dest="stage_bounces", type=int, default=2,
+    p.add_argument("--stage-bounces", dest="stage_bounces", type=int, default=4,
                    help="bounces per compaction stage (wavefront=staged)")
+    p.add_argument("--stage-loop", dest="stage_loop", default="fori",
+                   choices=("fori", "while"),
+                   help="stage-kernel bounce loop shape (see config.py)")
+    p.add_argument("--tri-order", dest="tri_order", default="morton",
+                   choices=("morton", "file"),
+                   help="kernel-internal triangle order for clustered scenes")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--asset-root", default="/root/reference")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")

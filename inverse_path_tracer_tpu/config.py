@@ -132,9 +132,20 @@ class RenderConfig:
     # the oracle for staged in tests.
     wavefront: str = "auto"
     # Bounces per compaction stage (staged wavefront only): smaller
-    # tracks the alive decay tighter but pays more partition/launch
-    # overhead per tile.
-    stage_bounces: int = 2
+    # tracks the alive decay tighter but pays more partition/sort
+    # overhead per tile.  4 is the measured v5e optimum on the vn
+    # sphere (sb2 5.08s / sb4 4.49s / sb8 5.83s at 512x512/64spp): the
+    # per-stage sort+permute costs ~0.15s/stage-set while stage-START
+    # quantization wastes ~k/2 bounces on lanes that die mid-stage.
+    stage_bounces: int = 4
+    # Stage-kernel bounce loop shape (staged wavefront only):
+    #   "fori"  — whole-stage skip via ONE cond around a static-trip
+    #             fori_loop; bounces past the global budget run masked
+    #             (exact no-ops).  Static trips let Mosaic pipeline the
+    #             bounce body.
+    #   "while" — per-bounce while_loop that also exits mid-stage when
+    #             every lane dies (round-3 shipped shape).
+    stage_loop: str = "fori"
     # Cluster-chunked sweep width for large scenes (triangles per
     # contiguous index-cluster in the Pallas kernels).  0 = the measured
     # default (ops/pallas/render_kernel.py CLUSTER_K, overridable via

@@ -116,6 +116,7 @@ def recover_materials_batched(
     checkpoint_every: int = 0,
     resume: bool = False,
     n_keys: int = 1,
+    average_last: int = 0,
 ) -> Tuple[jnp.ndarray, List[float]]:
     """Batched inverse recovery over S scenes (BASELINE.json configs
     #4/#5).  The reference's 100 scenes share geometry and differ only in
@@ -126,8 +127,17 @@ def recover_materials_batched(
     device program per optimizer step (make_batched_step) — S host
     dispatches per step collapse to one.  Checkpoint/resume mirrors
     recover_materials: per-step keys are pure functions of (key, step),
-    so a resumed run is bit-identical to an uninterrupted one.  Returns
-    (materials (S, nT, 3), loss curve of per-step mean loss)."""
+    so a resumed run is bit-identical to an uninterrupted one.
+
+    average_last = K > 0 returns the Polyak average of sigmoid(theta)
+    over the final K steps instead of the last iterate: at the noise
+    plateau the constant-lr Adam walk wanders around the optimum with a
+    per-face radius set by that face's gradient SNR, and averaging the
+    wander cuts it ~sqrt(K) at zero extra render cost — this is where
+    the weakly-observed cube faces' residual lives (see
+    scripts/run_recover100.py).
+
+    Returns (materials (S, nT, 3), loss curve of per-step mean loss)."""
     import os
 
     key = jax.random.PRNGKey(0) if key is None else key
@@ -145,17 +155,25 @@ def recover_materials_batched(
             checkpoint_path, (thetas, states)
         )
     losses = []
+    avg = None
+    n_avg = 0
     for i in range(start_step, steps):
         rkey = jax.random.fold_in(key, i)
         keys = jax.vmap(lambda j: jax.random.fold_in(rkey, j))(jnp.arange(s))
         thetas, states, step_losses = step(thetas, states, keys, targets01)
         losses.append(float(step_losses.mean()))
+        if average_last and i >= steps - average_last:
+            m = jax.nn.sigmoid(thetas)
+            avg = m if avg is None else avg + m
+            n_avg += 1
         if log_fn is not None:
             log_fn(i, losses[-1])
         if checkpoint_path and checkpoint_every and (i + 1) % checkpoint_every == 0:
             from inverse_path_tracer_tpu.utils.checkpoint import save_checkpoint
 
             save_checkpoint(checkpoint_path, (thetas, states), step=i + 1)
+    if avg is not None and n_avg > 0:
+        return avg / n_avg, losses
     return jax.nn.sigmoid(thetas), losses
 
 

@@ -51,6 +51,10 @@ from inverse_path_tracer_tpu.ops.pallas.render_kernel import (
 # 0 w, 1 w*f0, 2-4 w*f0*pixel, 5-7 w*f0*light, 8 count.
 N_QUANT = 9
 
+# Rows per bounce in the records-mode output (8-aligned for dynamic
+# sublane slices): dst, src, hit, w, nee_ok, nee_w, e_idx, pad.
+REC_INV_ROWS = 8
+
 
 def _kernel_inv(
     cfg_static,
@@ -60,6 +64,8 @@ def _kernel_inv(
     n_emissive,
     fused_rng,
     cluster_k,
+    rec_mode,  # static: True -> stream per-bounce edge records instead
+    # of carrying the dense VMEM accumulator (large scenes)
     # refs:
     p_ref,  # (3, BLOCK) ray origins
     d_ref,  # (3, BLOCK) ray dirs
@@ -72,7 +78,8 @@ def _kernel_inv(
     table_ref,  # (16|35, Tp) — face normals at rows 7:10 (+vn rows)
     etab_ref,  # (17|27, nE)
     cdf_ref,  # (nE, 1)
-    acc_ref,  # out (tpd, N_QUANT*Tp), accumulated across the grid
+    acc_ref,  # out: (tpd, N_QUANT*Tp) accumulated across the grid, or
+    # (bounces*REC_INV_ROWS, BLOCK) records when rec_mode
 ):
     (max_bounces, p_rr, min_dot, epsilon, _quirks, pair_split) = cfg_static
     block = p_ref.shape[1]
@@ -148,7 +155,9 @@ def _kernel_inv(
 
         # Indirect edge BEFORE the RR test (inv_path_trace.cu:128 vs
         # :135): factors[DIFFUSE] = 1 (:142), light = 0.
-        acc = acc + edge_grid(dst_f, hit_act, sel, w, ones_row, zero3)
+        w_edge = w
+        if not rec_mode:
+            acc = acc + edge_grid(dst_f, hit_act, sel, w, ones_row, zero3)
 
         # Diffuse next direction (:134-147; P_SPEC=0 so the path type is
         # always DIFFUSE, shininess 0, pdf = 1/pi — quirk Q3).  Sampled
@@ -210,12 +219,29 @@ def _kernel_inv(
                 / jnp.where(ok > 0, st_best, 1.0) ** 2
                 / row[16:17]
             )
-            src_oh_e = (geom.iota_tf == row[15:16]).astype(jnp.float32)
-            acc = acc + edge_grid(
-                src_f, ok, src_oh_e, nee_w, inv_pi_row, row[9:12]
-            )
+            if not rec_mode:
+                src_oh_e = (geom.iota_tf == row[15:16]).astype(jnp.float32)
+                acc = acc + edge_grid(
+                    src_f, ok, src_oh_e, nee_w, inv_pi_row, row[9:12]
+                )
+            e_idx_f = row[15:16]
         else:
             isect_next = geom.intersect(point, next_dir)
+            ok = jnp.zeros_like(act)
+            nee_w = jnp.zeros_like(w)
+            e_idx_f = jnp.zeros_like(w)
+
+        if rec_mode:
+            # Stream this bounce's edge fields to HBM; the XLA
+            # sort/segment reduction (render/inverse.py
+            # _grids_from_edge_records) turns them into the dense grid
+            # without any O(nT^2)-per-lane matmul.
+            rec = jnp.concatenate(
+                [dst_f, src_f, hit_act, w_edge, ok, nee_w, e_idx_f,
+                 jnp.zeros_like(w_edge)],
+                axis=0,
+            )  # (REC_INV_ROWS, B)
+            acc_ref[pl.ds(b * REC_INV_ROWS, REC_INV_ROWS), :] = rec
 
         w = jnp.where(cont > 0, w_next, w)
         dst_f = jnp.where(cont > 0, src_f, dst_f)
@@ -226,9 +252,12 @@ def _kernel_inv(
         jnp.ones((1, block), jnp.float32),
         jnp.full((1, block), float(n_tri), jnp.float32),  # eye node = nT
         alive_ref[:],
-        jnp.zeros((tpd, N_QUANT * tp), jnp.float32),
+        (jnp.zeros((1, 1), jnp.float32) if rec_mode
+         else jnp.zeros((tpd, N_QUANT * tp), jnp.float32)),
     )
     state = jax.lax.fori_loop(0, max_bounces, body, state)
+    if rec_mode:
+        return
     acc = state[-1]
 
     @pl.when(pl.program_id(0) == 0)
@@ -277,6 +306,7 @@ def inverse_tile_pallas(
 
     kernel = functools.partial(
         _kernel_inv, _cfg_static(cfg), tp, tpd, n_tri, n_e, fused_rng, ck,
+        False,
     )
 
     acc = pl.pallas_call(
@@ -302,6 +332,80 @@ def inverse_tile_pallas(
         interpret=interpret,
     )(p, d, alive, pix, orig, u_arg, pmat, cab, table, etab, cdf)
     return acc
+
+
+def inverse_tile_pallas_rec(
+    scene,
+    cfg,
+    p: jnp.ndarray,  # (3, tile)
+    d: jnp.ndarray,  # (3, tile)
+    alive: jnp.ndarray,  # (1, tile) f32
+    pix: jnp.ndarray,  # (3, tile) observed pixel colors
+    uniforms: jnp.ndarray = None,  # (bounces*8, tile)
+    block: int = 2048,
+    interpret: bool = False,
+    orig: jnp.ndarray = None,  # (1, tile) i32 global sample indices
+    keys: jnp.ndarray = None,  # (2,) i32: fused hash-RNG mode
+) -> jnp.ndarray:
+    """Records-mode inverse trace for LARGE scenes: the same fused
+    bounce loop (cluster-chunked intersects, in-kernel smooth shading),
+    but per-bounce edge fields stream to HBM instead of accumulating a
+    dense (Tpd, 9*Tp) grid in VMEM — the grid would need O(nT^2) VMEM
+    (~66 MB at 1298 triangles vs the 16 MB budget; see
+    render/inverse.py's fits gate).  Returns (bounces*REC_INV_ROWS,
+    tile) records; reduce with render/inverse.py
+    _grids_from_edge_records.  Indices in the records are
+    kernel-INTERNAL (Morton) — the reducer maps them back via
+    kernel_perm.  Requires cfg.p_spec == 0, like the dense kernel."""
+    assert cfg.p_spec == 0.0, "pallas inverse kernel requires p_spec == 0"
+    n_tri = scene.vertices.shape[0]
+    n_e = scene.emissive_idx.shape[0]
+    tile = p.shape[1]
+    assert tile % block == 0, (tile, block)
+    tp, pmat, table, etab, cdf, cab, ck = _pack_tables(scene, scene.diffuse, cfg)
+    tpd = _round_up(n_tri + 1, 8)
+    if orig is None:
+        orig = jnp.zeros((1, tile), jnp.int32)
+
+    grid = (tile // block,)
+    ray_spec = lambda rows: pl.BlockSpec(
+        (rows, block), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    u_spec, u_arg, fused_rng = _u_spec_and_arg(
+        uniforms, keys, ray_spec, cfg.max_bounces * 8
+    )
+    kernel = functools.partial(
+        _kernel_inv, _cfg_static(cfg), tp, tpd, n_tri, n_e, fused_rng, ck,
+        True,
+    )
+    rec_rows = cfg.max_bounces * REC_INV_ROWS
+    from inverse_path_tracer_tpu.ops.pallas.render_kernel import (
+        _compiler_params,
+    )
+
+    rec = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            ray_spec(3),
+            ray_spec(3),
+            ray_spec(1),
+            ray_spec(3),
+            ray_spec(1),
+            u_spec,
+            full(pmat),
+            full(cab),
+            full(table),
+            full(etab),
+            full(cdf),
+        ],
+        out_specs=ray_spec(rec_rows),
+        out_shape=jax.ShapeDtypeStruct((rec_rows, tile), jnp.float32),
+        compiler_params=_compiler_params(interpret, True),
+        interpret=interpret,
+    )(p, d, alive, pix, orig, u_arg, pmat, cab, table, etab, cdf)
+    return rec
 
 
 def grids_from_acc(acc: jnp.ndarray, n_tri: int, perm=None):

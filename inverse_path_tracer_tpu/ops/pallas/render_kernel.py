@@ -123,25 +123,39 @@ REC_ROWS = 16
 CARRY_ROWS = 24
 
 # Cluster-chunked sweep (large scenes): contiguous-index clusters of
-# CLUSTER_K triangles, enabled when the padded triangle count reaches
-# CLUSTER_MIN_TP.  Contiguity preserves global triangle indices (the
-# behavioral contract — they appear in transport graphs and materials),
-# and mesh files emit spatially coherent triangle runs, so contiguous
-# clusters get tight AABBs without any reordering.
-CLUSTER_K = int(os.environ.get("IPT_CLUSTER_K", 128))
+# cluster_k triangles (kernel-internal Morton/size order, see
+# _morton_order), enabled when the padded triangle count reaches
+# CLUSTER_MIN_TP.  IPT_CLUSTER_K overrides the auto width process-wide;
+# cfg.cluster_k overrides per-config.
+CLUSTER_K = int(os.environ.get("IPT_CLUSTER_K", 0))
 CLUSTER_MIN_TP = int(os.environ.get("IPT_CLUSTER_MIN_TP", 512))
 
 
 def cluster_k_for(n_tri: int, cfg) -> int:
     """Resolved cluster width for the chunked sweep (0 = dense).
 
-    cfg.cluster_k overrides the module default (which IPT_CLUSTER_K can
-    set process-wide); as a static RenderConfig field it participates in
-    jit cache keys, so same-process A/B sweeps are sound."""
+    Auto policy (cfg.cluster_k == 0 and no IPT_CLUSTER_K): k = half the
+    padded triangle count, clamped to [256, 1024] and rounded up to a
+    multiple of 128 — i.e. ONE always-swept hot segment (the scene's
+    largest triangles) plus one-or-few gated cold segments.  The
+    measured v5e response surface on the 1298-tri vn sphere
+    (512x512/64spp, same-process sweeps, 2026-08-20) is FLAT within ~8%
+    for k in {512..1536} x block in {128..512} and falls off sharply for
+    fine clusters (k=128: 0.73x, k=32: 0.39x — per-visit machinery
+    dominates because the union-pair skip masks fire most gated
+    clusters anyway); k = tp/2 = 768 was the measured optimum (27.3M
+    rays/s vs 18.9M for the round-3 k=128 policy).
+
+    As a static RenderConfig field cfg.cluster_k participates in jit
+    cache keys, so same-process A/B sweeps are sound."""
     tp8 = _round_up(max(n_tri, 8), 8)
     if tp8 < CLUSTER_MIN_TP:
         return 0
-    return cfg.cluster_k or CLUSTER_K
+    if cfg.cluster_k:
+        return cfg.cluster_k
+    if CLUSTER_K:
+        return CLUSTER_K
+    return min(1024, max(256, _round_up(tp8 // 2, 128)))
 
 
 def _morton_codes(cent: jnp.ndarray, lo, inv_ext) -> jnp.ndarray:
@@ -159,14 +173,34 @@ def _morton_codes(cent: jnp.ndarray, lo, inv_ext) -> jnp.ndarray:
     return expand(q[:, 0]) | (expand(q[:, 1]) << 1) | (expand(q[:, 2]) << 2)
 
 
-def _morton_order(scene) -> jnp.ndarray:
-    """(nT,) int32: internal->global triangle order by centroid Morton
-    code (stable, so equal codes keep global order)."""
+def _morton_order(scene, hot: int = 0) -> jnp.ndarray:
+    """(nT,) int32 internal->global triangle order: the `hot` largest
+    triangles (by AABB diagonal) first, the rest by centroid Morton
+    code (stable, so equal keys keep global order).
+
+    The hot prefix fills the kernel's FIRST cluster, which sweeps
+    unconditionally: large triangles (walls, floors) are hit by ~every
+    ray block, and leaving them inside Morton clusters would inflate
+    every cluster AABB they touch until no cluster is ever skipped —
+    the measured failure mode of pure Morton ordering on
+    Cornell+sphere, where 18 wall triangles poisoned the skip masks."""
     cent = scene.vertices.mean(axis=1)  # (nT, 3)
     lo = cent.min(axis=0)
     ext = cent.max(axis=0) - lo
     inv_ext = 1.0 / jnp.where(ext > 0, ext, 1.0)
-    return jnp.argsort(_morton_codes(cent, lo, inv_ext), stable=True)
+    codes = jnp.clip(_morton_codes(cent, lo, inv_ext), 0, (1 << 30) - 1)
+    if hot <= 0:
+        return jnp.argsort(codes, stable=True)
+    tlo = scene.vertices.min(axis=1)
+    thi = scene.vertices.max(axis=1)
+    size = jnp.sum((thi - tlo) ** 2, axis=-1)
+    # rank[i] = position of triangle i in descending-size order.
+    rank = jnp.argsort(jnp.argsort(-size, stable=True), stable=True)
+    is_hot = rank < hot
+    # Composite key: hot group (rank) strictly before cold (morton);
+    # both sub-keys fit 30 bits, the group bit sits at 2^30.
+    key = jnp.where(is_hot, rank, (1 << 30) + codes)
+    return jnp.argsort(key, stable=True)
 
 
 def kernel_perm(scene, cfg):
@@ -198,11 +232,12 @@ def kernel_perm(scene, cfg):
     this permutation.  Flat-scene tests keep the bitwise XLA<->Pallas
     contract; vn-scene tests bound the (benign, ~1e-2 of lanes)
     knife-edge attribution flips instead (tests/test_pallas.py)."""
-    if cluster_k_for(scene.vertices.shape[0], cfg) == 0:
+    ck = cluster_k_for(scene.vertices.shape[0], cfg)
+    if ck == 0:
         return None
     if getattr(cfg, "tri_order", "morton") != "morton":
         return None
-    return _morton_order(scene)
+    return _morton_order(scene, hot=ck)
 
 # pl is imported lazily so CPU-only environments without pallas work.
 try:
@@ -365,10 +400,17 @@ def _make_geom(tp, pmat, block, min_dot, epsilon, cab=None, cluster_k=0,
                 tm = _t_masked_rows(ab[:, :block], ab[:, block:], cluster_k)
                 return _fold_chunk(tm, c, tb, ib)
 
-            t_b, i_b = jax.lax.cond(
-                jnp.max(_slab_rows(c, p, inv_d)) > 0.0,
-                go, lambda st: st, (t_b, i_b),
-            )
+            if c == 0:
+                # The hot segment (the scene's largest triangles,
+                # _morton_order) sweeps unconditionally: it is entered
+                # by ~every block, and dropping its cond + slab test
+                # removes per-visit machinery from the critical path.
+                t_b, i_b = go((t_b, i_b))
+            else:
+                t_b, i_b = jax.lax.cond(
+                    jnp.max(_slab_rows(c, p, inv_d)) > 0.0,
+                    go, lambda st: st, (t_b, i_b),
+                )
         return _resolve(t_b, i_b, p, d)
 
     # The clustered pair intersect has two shapes, cfg.pair_sweep =
@@ -407,10 +449,14 @@ def _make_geom(tp, pmat, block, min_dot, epsilon, cab=None, cluster_k=0,
                 t2b, i2b = _fold_chunk(tm2, c, t2b, i2b)
                 return (t1b, i1b, t2b, i2b)
 
-            any_hit = (
-                jnp.max(_slab_rows(c, p, inv1)) + jnp.max(_slab_rows(c, p, inv2))
-            ) > 0.0
-            st = jax.lax.cond(any_hit, go, lambda s: s, st)
+            if c == 0:
+                st = go(st)  # hot segment: unconditional (see above)
+            else:
+                any_hit = (
+                    jnp.max(_slab_rows(c, p, inv1))
+                    + jnp.max(_slab_rows(c, p, inv2))
+                ) > 0.0
+                st = jax.lax.cond(any_hit, go, lambda s: s, st)
         t1b, i1b, t2b, i2b = st
         t1, hit1, idx1_f, _p1 = _resolve(t1b, i1b, p, d1)
         nxt = _resolve(t2b, i2b, p, d2)
@@ -1082,6 +1128,7 @@ def _kernel_stage(
     cluster_k,
     k_bounces,
     with_rec,
+    fori_stage,
     # refs:
     start_ref,  # SMEM (1,) i32: this stage's first global bounce
     carry_ref,  # (CARRY_ROWS, BLOCK) lane carry in
@@ -1126,32 +1173,66 @@ def _kernel_stage(
            c[17:18])
     rad0, seg0, shw0 = c[18:21], c[21:22], c[22:23]
 
-    def cond(state):
-        b, st, _rad, _seg, _shw = state
-        alive = st[7]
-        return (
-            (b < k_bounces)
-            & (start + b < max_bounces)
-            & (jnp.max(alive) > 0.0)
+    if fori_stage:
+        # Static-trip stage: one cond skips the whole stage when every
+        # lane is already dead (with the host-side alive-first packing,
+        # dead blocks cluster at the grid tail), and bounces past the
+        # GLOBAL budget run with a zeroed alive mask — exact no-ops
+        # (contrib/seg/shadow/records all gate on act; the pending
+        # intersect they overwrite is consumed only by masked lanes).
+        # Static trips let Mosaic software-pipeline the bounce body,
+        # which the per-bounce while cond prevents (measured: see
+        # config.stage_loop).
+        def fbody(b, state):
+            st, rad, seg, shw = state
+            in_budget = (start + b < max_bounces).astype(jnp.float32)
+            st = st[:7] + (st[7] * in_budget,)
+            u = draw(start + b, b)
+            st, out = bounce(start + b, u, st)
+            if rec_ref is not None:
+                rec = jnp.concatenate(
+                    [out.f, out.c, out.nee, out.pm_in, out.coeff,
+                     out.tri_f, out.hit, out.esc],
+                    axis=0,
+                )
+                rec_ref[pl.ds(b * REC_ROWS, REC_ROWS), :] = rec
+            return (st, rad + out.contrib, seg + out.seg,
+                    shw + out.shadow)
+
+        def run(state):
+            return jax.lax.fori_loop(0, k_bounces, fbody, state)
+
+        (st, rad, seg, shw) = jax.lax.cond(
+            (jnp.max(st0[7]) > 0.0) & (start < max_bounces),
+            run, lambda s: s, (st0, rad0, seg0, shw0),
         )
-
-    def body(state):
-        b, st, rad, seg, shw = state
-        u = draw(start + b, b)
-        st, out = bounce(start + b, u, st)
-        if rec_ref is not None:
-            rec = jnp.concatenate(
-                [out.f, out.c, out.nee, out.pm_in, out.coeff, out.tri_f,
-                 out.hit, out.esc],
-                axis=0,
+    else:
+        def cond(state):
+            b, st, _rad, _seg, _shw = state
+            alive = st[7]
+            return (
+                (b < k_bounces)
+                & (start + b < max_bounces)
+                & (jnp.max(alive) > 0.0)
             )
-            rec_ref[pl.ds(b * REC_ROWS, REC_ROWS), :] = rec
-        return (b + 1, st, rad + out.contrib, seg + out.seg,
-                shw + out.shadow)
 
-    (_b, st, rad, seg, shw) = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), st0, rad0, seg0, shw0)
-    )
+        def body(state):
+            b, st, rad, seg, shw = state
+            u = draw(start + b, b)
+            st, out = bounce(start + b, u, st)
+            if rec_ref is not None:
+                rec = jnp.concatenate(
+                    [out.f, out.c, out.nee, out.pm_in, out.coeff,
+                     out.tri_f, out.hit, out.esc],
+                    axis=0,
+                )
+                rec_ref[pl.ds(b * REC_ROWS, REC_ROWS), :] = rec
+            return (b + 1, st, rad + out.contrib, seg + out.seg,
+                    shw + out.shadow)
+
+        (_b, st, rad, seg, shw) = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), st0, rad0, seg0, shw0)
+        )
     (d, hit, idx_f, point, l_e, l_d, pm, alive) = st
     carry_out_ref[:] = jnp.concatenate(
         [d, point, hit, idx_f, l_e, l_d, pm, alive, rad, seg, shw,
@@ -1228,7 +1309,7 @@ def _pack_tables(scene, materials, cfg=None):
     # internal indices, wrappers map the material-gradient /
     # transport-grid outputs back.
     perm = (kernel_perm(scene, cfg) if cfg is not None
-            else (_morton_order(scene) if cluster_k else None))
+            else (_morton_order(scene, hot=cluster_k) if cluster_k else None))
     if perm is not None:
         order = perm
         e_idx_f = jnp.argsort(perm)[scene.emissive_idx].astype(jnp.float32)
@@ -1643,6 +1724,7 @@ def stage_tile_pallas(
     kernel = functools.partial(
         _kernel_stage, _cfg_static(cfg), tp, n_e, fused_rng,
         scene.specular_idx.shape[0] == 0, ck, k_bounces, with_rec,
+        getattr(cfg, "stage_loop", "fori") == "fori",
     )
     out_specs = [ray_spec(CARRY_ROWS)]
     out_shape = [jax.ShapeDtypeStruct((CARRY_ROWS, tile), jnp.float32)]

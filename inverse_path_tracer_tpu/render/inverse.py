@@ -320,6 +320,162 @@ def _trace_transport_range_pallas(
     )
 
 
+def _grids_from_edge_records(
+    rec: jnp.ndarray,  # (bounces*REC_INV_ROWS, tile) from the rec kernel
+    pix: jnp.ndarray,  # (tile, 3) observed pixel colors
+    scene: SceneData,
+    cfg: RenderConfig,
+    perm,  # kernel_perm(scene, cfg): internal -> global, or None
+) -> jnp.ndarray:
+    """One tile's streamed edge records -> dense (n_bins, 9) quantity
+    grid (the rec-mode counterpart of the in-kernel VMEM accumulator).
+
+    TPU-native segment reduction without scatters OR O(nT^2)-per-lane
+    one-hot matmuls: flatten the 2 edges/bounce/lane to (M,) bin keys
+    (bin = dst*(nT) + src, masked lanes -> a sentinel bin), argsort the
+    keys, cumsum the sorted (M, 9) quantity rows once, and read every
+    bin's total as a difference of cumsums at its searchsorted range —
+    all fully vectorized.  The f32 running cumsum costs ~eps * (prefix
+    total) of absolute error on small bins (documented; the vn parity
+    test bounds it), which is far below the Monte-Carlo noise of the
+    estimates themselves.
+
+    Quantity columns match edge_grid: [w, w*f0, w*f0*pix(3),
+    w*f0*light(3), n]."""
+    n_tri = scene.n_tri
+    b = cfg.max_bounces
+    tile = rec.shape[1]
+    r = rec.reshape(b, 8, tile)
+    dst_i = r[:, 0].astype(jnp.int32)  # internal; n_tri == eye
+    src_i = r[:, 1].astype(jnp.int32)
+    hit = r[:, 2]
+    w = r[:, 3]
+    ok = r[:, 4]
+    nee_w = r[:, 5]
+    e_i = r[:, 6].astype(jnp.int32)
+    if perm is not None:
+        to_g = jnp.concatenate([perm, jnp.asarray([n_tri])]).astype(jnp.int32)
+        dst_g = to_g[jnp.clip(dst_i, 0, n_tri)]
+        src_g = to_g[jnp.clip(src_i, 0, n_tri - 1)]
+        e_g = to_g[jnp.clip(e_i, 0, n_tri - 1)]
+    else:
+        dst_g, src_g, e_g = dst_i, src_i, e_i
+
+    n_bins = (n_tri + 1) * n_tri
+    pix_b = jnp.broadcast_to(pix.T[None], (b, 3, tile))  # (b, 3, tile)
+
+    def quant(w_, f0, light, mask):
+        wf = w_ * f0 * mask
+        return jnp.stack(
+            [
+                w_ * mask,
+                wf,
+                wf * pix_b[:, 0],
+                wf * pix_b[:, 1],
+                wf * pix_b[:, 2],
+                wf * light[:, 0],
+                wf * light[:, 1],
+                wf * light[:, 2],
+                mask,
+            ],
+            axis=-1,
+        )  # (b, tile, 9)
+
+    zeros3 = jnp.zeros((b, 3, tile), jnp.float32)
+    # Indirect edge (factors[DIFFUSE]=1, light=0).
+    k_ind = jnp.where(hit > 0, dst_g * n_tri + src_g, n_bins)
+    v_ind = quant(w, 1.0, zeros3, hit)
+    # NEE edge (factors[DIFFUSE]=1/pi, light = chosen emissive's L_o).
+    light = scene.emission[e_g].transpose(0, 2, 1)  # (b, 3, tile)
+    k_nee = jnp.where(ok > 0, src_g * n_tri + e_g, n_bins)
+    v_nee = quant(nee_w, 1.0 / PI, light, ok)
+
+    keys = jnp.concatenate([k_ind.reshape(-1), k_nee.reshape(-1)])
+    vals = jnp.concatenate([v_ind.reshape(-1, 9), v_nee.reshape(-1, 9)])
+    order = jnp.argsort(keys)
+    k2 = keys[order]
+    v2 = vals[order]
+    c = jnp.concatenate(
+        [jnp.zeros((1, 9), jnp.float32), jnp.cumsum(v2, axis=0)], axis=0
+    )
+    bins = jnp.arange(n_bins, dtype=keys.dtype)
+    left = jnp.searchsorted(k2, bins, side="left")
+    right = jnp.searchsorted(k2, bins, side="right")
+    return c[right] - c[left]  # (n_bins, 9)
+
+
+def _trace_transport_range_pallas_rec(
+    scene: SceneData,
+    target_image01: jnp.ndarray,
+    key: jax.Array,
+    cfg: RenderConfig,
+    start: jnp.ndarray,
+    count: int,
+) -> TransportGrids:
+    """Large-scene fused extraction: the records-mode inverse kernel
+    traces each tile (cluster-chunked intersects, smooth shading all
+    in-kernel) and the XLA sort/segment reduction accumulates the dense
+    grid — no O(nT^2) VMEM accumulator, so scene size is bounded by HBM
+    (the dense grid itself), exactly like the reference's
+    atomics-into-managed-memory createGraph (inv_path_trace.cu:195)."""
+    from inverse_path_tracer_tpu.ops.pallas.inverse_kernel import (
+        inverse_tile_pallas_rec,
+    )
+    from inverse_path_tracer_tpu.ops.pallas.render_kernel import kernel_perm
+    from inverse_path_tracer_tpu.render.forward import _pallas_block, _pallas_keys
+
+    n_tri = scene.n_tri
+    target_flat = target_image01.reshape(-1, 3)
+    tile = min(cfg.tile_size, count)
+    n_tiles = -(-count // tile)
+    interpret = jax.default_backend() != "tpu"
+    fused_rng = cfg.rng == "fused" or (cfg.rng == "auto" and not interpret)
+    block = _pallas_block(
+        scene, tile, records=True,
+        u_rows=0 if fused_rng else cfg.max_bounces * 8,
+    )
+    perm = kernel_perm(scene, cfg)
+
+    def tile_fn(dense, tile_start):
+        idx = tile_start + jnp.arange(tile, dtype=jnp.int32)
+        in_range = idx < cfg.n_samples
+        tkey = jax.random.fold_in(key, tile_start // tile)
+        p, d = camera_rays(scene, cfg, tkey, idx)
+        pix_idx = jnp.clip(idx // cfg.spp, 0, cfg.width * cfg.height - 1)
+        pixel_colors = target_flat[pix_idx]
+        uniforms = None if fused_rng else _inv_uniforms(tkey, cfg, tile)
+        rec = inverse_tile_pallas_rec(
+            scene,
+            cfg,
+            p.T,
+            d.T,
+            in_range.astype(jnp.float32)[None, :],
+            pixel_colors.T,
+            uniforms,
+            block=block,
+            interpret=interpret,
+            orig=idx[None, :],
+            keys=_pallas_keys(key) if fused_rng else None,
+        )
+        dense = dense + _grids_from_edge_records(
+            rec, pixel_colors, scene, cfg, perm
+        )
+        return dense, None
+
+    dense0 = jnp.zeros(((n_tri + 1) * n_tri, 9), jnp.float32)
+    starts = start + jnp.arange(n_tiles, dtype=jnp.int32) * tile
+    dense, _ = jax.lax.scan(tile_fn, dense0, starts)
+    z1 = jnp.zeros_like(dense[:, 0])
+    z3 = jnp.zeros_like(dense[:, 2:5])
+    return TransportGrids(
+        w_sum=dense[:, 0],
+        pixel_sum=jnp.stack([dense[:, 2:5], z3], axis=1),
+        light_sum=jnp.stack([dense[:, 5:8], z3], axis=1),
+        factors_sum=jnp.stack([dense[:, 1], z1], axis=1),
+        count=dense[:, 8],
+    )
+
+
 def trace_transport_range(
     scene: SceneData,
     target_image01: jnp.ndarray,  # (H, W, 3) float in [0,1] (PNG / 255)
@@ -340,13 +496,20 @@ def trace_transport_range(
     # in VMEM — ~40 KB at the reference's 30 triangles but O(nT^2): a
     # 1300-triangle scene would need ~60 MB of the 16 MB budget.  Past
     # ~256 triangles (>= ~2.4 MB + bounce working set, measured safe on
-    # v5e) the XLA segment-matmul path takes over.  cfg.backend="pallas"
-    # still forces the kernel for tests.
-    n_t = scene.vertices.shape[0]
-    acc_mb = (n_t + 8) * 9 * (n_t + 8) * 4 / 2**20
-    fits = acc_mb <= 2.5 or cfg.backend == "pallas"
-    if cfg.p_spec == 0.0 and fits and _use_pallas(cfg, scene):
-        return _trace_transport_range_pallas(
+    # v5e) the records-mode kernel takes over: the SAME fused trace, but
+    # per-bounce edge fields stream to HBM and an XLA sort/segment
+    # reduction builds the grid — scene size is then bounded by HBM like
+    # the reference's managed-memory atomics (inv_path_trace.cu:195),
+    # with no VMEM cliff.  The XLA wavefront path remains the oracle and
+    # the p_spec > 0 implementation.
+    if cfg.p_spec == 0.0 and _use_pallas(cfg, scene):
+        n_t = scene.vertices.shape[0]
+        acc_mb = (n_t + 8) * 9 * (n_t + 8) * 4 / 2**20
+        if acc_mb <= 2.5:
+            return _trace_transport_range_pallas(
+                scene, target_image01, key, cfg, start, count
+            )
+        return _trace_transport_range_pallas_rec(
             scene, target_image01, key, cfg, start, count
         )
     n_tri = scene.n_tri

@@ -60,7 +60,10 @@ def main():
     backend = os.environ.get("BENCH_BACKEND", "pallas")
     wavefront = os.environ.get("BENCH_WAVEFRONT", "auto")
     rng = os.environ.get("BENCH_RNG", "auto")
-    stage_bounces = int(os.environ.get("BENCH_STAGE_BOUNCES", 2))
+    stage_bounces = int(os.environ.get("BENCH_STAGE_BOUNCES", 4))
+    stage_loop = os.environ.get("BENCH_STAGE_LOOP", "fori")
+    cluster_k = int(os.environ.get("BENCH_CLUSTER_K", 0))
+    tri_order = os.environ.get("BENCH_TRI_ORDER", "morton")
 
     log(f"devices: {jax.devices()}")
     if name == "sphere":
@@ -70,7 +73,8 @@ def main():
     cfg = RenderConfig(
         width=width, height=height, spp=spp, max_bounces=bounces,
         tile_size=tile, backend=backend, wavefront=wavefront, rng=rng,
-        stage_bounces=stage_bounces,
+        stage_bounces=stage_bounces, stage_loop=stage_loop,
+        cluster_k=cluster_k, tri_order=tri_order,
     )
     log(f"scene={name} nT={scene.vertices.shape[0]} vn={scene.vertex_normals.shape[1] != 0} "
         f"{width}x{height} {spp}spp {bounces}b tile={tile} backend={backend} wavefront={wavefront}")

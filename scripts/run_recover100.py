@@ -64,6 +64,7 @@ def main():
     spp = int(os.environ.get("R100_SPP", 64))
     target_spp = int(os.environ.get("R100_TARGET_SPP", spp))
     n_keys = int(os.environ.get("R100_KEYS", 1))
+    avg_last = int(os.environ.get("R100_AVG", 0))
     n = int(os.environ.get("R100_SCENES", 100))
     cfg = RenderConfig(width=res, height=res, spp=spp, max_bounces=16,
                        tile_size=1 << 16)
@@ -75,6 +76,7 @@ def main():
 
     metrics = {"config": {"n": n, "res": res, "spp": spp,
                           "target_spp": target_spp, "n_keys": n_keys,
+                          "avg_last": avg_last,
                           "steps": args.steps,
                           "devices": [str(d) for d in jax.devices()]}}
 
@@ -116,7 +118,7 @@ def main():
         lr=float(os.environ.get("R100_LR", 5e-2)),
         key=jax.random.PRNGKey(0), log_fn=log_fn,
         checkpoint_path=os.path.join(RUN, "ckpt.npz"), checkpoint_every=25,
-        resume=True, n_keys=n_keys,
+        resume=True, n_keys=n_keys, average_last=avg_last,
     )
     lf.close()
     metrics["recover_wall_s"] = round(time.time() - t0, 1)

@@ -47,20 +47,18 @@ def sphere_scene():
 
 # label -> cfg overrides (applied to the bench base config).
 VARIANTS = {
-    "file":          dict(tri_order="file"),  # round-3 baseline (file order)
-    "base":          dict(),  # morton, staged, K=128, union
-    "k64":           dict(cluster_k=64),
-    "k32":           dict(cluster_k=32),
-    "k256":          dict(cluster_k=256),
-    "cells4":        dict(bin_cells=4),
-    "k64_cells4":    dict(cluster_k=64, bin_cells=4),
-    "split":         dict(pair_sweep="split"),
-    "k64_split":     dict(cluster_k=64, pair_sweep="split"),
-    "sb1":           dict(stage_bounces=1),
-    "sb4":           dict(stage_bounces=4),
-    "mega":          dict(wavefront="mega"),
-    "file_again":    dict(tri_order="file"),  # drift bound
-    "base_again":    dict(),  # drift bound
+    # stage_loop="fori" (static-trip stage body) vs the round-3 "while".
+    "w_k1536_sb4":   dict(cluster_k=1536, stage_bounces=4,
+                          stage_loop="while"),  # sweep-4 best (25.56M)
+    "f_k1536_sb2":   dict(cluster_k=1536),
+    "f_k1536_sb4":   dict(cluster_k=1536, stage_bounces=4),
+    "f_k1536_sb8":   dict(cluster_k=1536, stage_bounces=8),
+    "f_k768_sb4":    dict(cluster_k=768, stage_bounces=4),
+    "f_hot512_sb4":  dict(cluster_k=512, stage_bounces=4),
+    "f_hot512_sb2":  dict(cluster_k=512),
+    "f_k768_sb2":    dict(cluster_k=768),
+    "w_k1536_sb4_b": dict(cluster_k=1536, stage_bounces=4,
+                          stage_loop="while"),  # drift bound
 }
 
 
@@ -99,6 +97,17 @@ def main():
     log(f"devices: {jax.devices()}")
     scene = sphere_scene()
     log(f"scene: nT={scene.vertices.shape[0]}, {width}x{height}/{spp}spp/{bounces}b")
+    # Warm the tunnel with a tiny compile first: a fresh process going
+    # straight to a large Mosaic compile has been observed to wedge the
+    # remote compile service (2026-08-20, twice); a small first contact
+    # avoids it.
+    t0 = time.time()
+    jax.block_until_ready(render_samples(
+        scene.diffuse, scene,
+        jax.random.PRNGKey(0),
+        base.with_(width=32, height=32, spp=2, max_bounces=4, tile_size=2048),
+    ))
+    log(f"warmup: {time.time()-t0:.1f}s")
 
     out = {}
     for name in names:
