@@ -138,6 +138,23 @@ class RenderConfig:
     # per-stage sort+permute costs ~0.15s/stage-set while stage-START
     # quantization wastes ~k/2 bounces on lanes that die mid-stage.
     stage_bounces: int = 4
+    # Plane-resolution reciprocal in the Pallas sweeps (BASELINE.md
+    # roofline lever #2): True (default) computes t with the hardware
+    # approximate reciprocal refined by ONE Newton step instead of the
+    # exact divide — measured +6.1% forward throughput on v5e (320.5M
+    # vs 302M rays/s, same-process A/B; the RAW approx without Newton
+    # gives +8.2% but its ~2e-3 relative error moves hit points near
+    # the EPSILON=1e-2 scale and flips edge hits).  The Newton-refined
+    # ~4e-6 relative t perturbation is geometry-only and far below the
+    # accepted one-pass bf16 intersect quantization (~2^-8; see
+    # render_kernel.py's precision policy): gradients stay exactly
+    # self-consistent and the hardware golden/FD gates validate the
+    # mode end-to-end.  It breaks exact XLA<->Pallas float equality, so
+    # the strict oracle-parity tests pin fast_recip=False; a
+    # default-mode closeness test covers this path
+    # (test_default_fast_recip_close_to_xla).  Set False for the exact
+    # divide.
+    fast_recip: bool = True
     # Stage-kernel bounce loop shape (staged wavefront only):
     #   "fori"  — whole-stage skip via ONE cond around a static-trip
     #             fori_loop; bounces past the global budget run masked

@@ -117,6 +117,7 @@ def recover_materials_batched(
     resume: bool = False,
     n_keys: int = 1,
     average_last: int = 0,
+    init_materials: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, List[float]]:
     """Batched inverse recovery over S scenes (BASELINE.json configs
     #4/#5).  The reference's 100 scenes share geometry and differ only in
@@ -137,6 +138,14 @@ def recover_materials_batched(
     the weakly-observed cube faces' residual lives (see
     scripts/run_recover100.py).
 
+    init_materials (S, nT, 3) in (0, 1) warm-starts theta at
+    logit(init) instead of 0 (i.e. Kd = 0.5).  The intended source is
+    the transport-graph GCN's predictions: the graph constrains every
+    face any PATH touches (camera-hidden faces included), while the
+    pixel loss only constrains camera-visible ones — the hybrid keeps
+    the GCN's estimate wherever the pixel gradient is ~zero and
+    sharpens the directly-observed faces.
+
     Returns (materials (S, nT, 3), loss curve of per-step mean loss)."""
     import os
 
@@ -145,7 +154,11 @@ def recover_materials_batched(
     opt = optax.adam(lr)
     step = make_batched_step(scene, cfg, opt, mesh=mesh, n_keys=n_keys)
 
-    thetas = jnp.zeros((s,) + scene.diffuse.shape, dtype=jnp.float32)
+    if init_materials is not None:
+        m0 = jnp.clip(init_materials.astype(jnp.float32), 1e-4, 1.0 - 1e-4)
+        thetas = jnp.log(m0) - jnp.log1p(-m0)
+    else:
+        thetas = jnp.zeros((s,) + scene.diffuse.shape, dtype=jnp.float32)
     states = jax.vmap(opt.init)(thetas)
     start_step = 0
     if resume and checkpoint_path and os.path.exists(checkpoint_path):

@@ -81,11 +81,12 @@ def _kernel_inv(
     acc_ref,  # out: (tpd, N_QUANT*Tp) accumulated across the grid, or
     # (bounces*REC_INV_ROWS, BLOCK) records when rec_mode
 ):
-    (max_bounces, p_rr, min_dot, epsilon, _quirks, pair_split) = cfg_static
+    (max_bounces, p_rr, min_dot, epsilon, _quirks, pair_split,
+     fast_recip) = cfg_static
     block = p_ref.shape[1]
     geom = _make_geom(tp, pmat_ref[:], block, min_dot, epsilon,
                       cab=cab_ref[:], cluster_k=cluster_k,
-                      pair_split=pair_split)
+                      pair_split=pair_split, fast_recip=fast_recip)
     table = table_ref[:]
     has_vn = table.shape[0] > 16  # static: 35 rows iff vertex normals
     etab = etab_ref[:]

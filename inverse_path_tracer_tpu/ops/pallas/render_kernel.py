@@ -289,7 +289,7 @@ class _Geom(NamedTuple):
 
 
 def _make_geom(tp, pmat, block, min_dot, epsilon, cab=None, cluster_k=0,
-               pair_split=False) -> _Geom:
+               pair_split=False, fast_recip=False) -> _Geom:
     ones_row = jnp.ones((1, block), dtype=jnp.float32)
     zeros_row = jnp.zeros((1, block), dtype=jnp.float32)
     iota_t = jax.lax.broadcasted_iota(jnp.int32, (tp, block), 0)
@@ -301,7 +301,18 @@ def _make_geom(tp, pmat, block, min_dot, epsilon, cab=None, cluster_k=0,
         test + 3 edge signed-distance tests pass, +inf elsewhere."""
         a0 = a[0:k]
         b0 = bb[0:k]
-        t = a0 / (-b0)
+        if fast_recip:
+            # Approximate reciprocal + ONE Newton step: r1 = r*(2 - x*r)
+            # squares the hardware approximation's relative error
+            # (~2e-3 -> ~4e-6), far below the EPSILON=1e-2 hit
+            # semantics and the accepted bf16 geometry wobble, while
+            # still skipping the full-precision divide (measured +6-8%
+            # fwd on v5e; raw approx without the Newton step moves hit
+            # points by ~1e-2*t and fails the golden gate).
+            r = pl.reciprocal(-b0, approx=True)
+            t = a0 * (r * (2.0 + b0 * r))
+        else:
+            t = a0 / (-b0)
         # max over the 3 edge signed distances <= 0 fuses the three
         # per-edge compare+and chains into one compare (NaN rows — from
         # t=inf with b_j=0 — propagate through maximum and fail the
@@ -611,10 +622,12 @@ def _make_bounce(cfg_static, tp, n_emissive, no_spec, pmat, table, etab, cdf,
     The shading normal is then barycentric-interpolated at each hit
     (Triangle::getNormal), while direction sampling still rotates around
     the FACE normal (path_trace.cu:134 uses tri->normal)."""
-    (max_bounces, p_rr, min_dot, epsilon, quirks, pair_split) = cfg_static
+    (max_bounces, p_rr, min_dot, epsilon, quirks, pair_split,
+     fast_recip) = cfg_static
     has_vn = table.shape[0] > 16  # static: 35 rows iff vertex normals
     geom = _make_geom(tp, pmat, block, min_dot, epsilon, cab=cab,
-                      cluster_k=cluster_k, pair_split=pair_split)
+                      cluster_k=cluster_k, pair_split=pair_split,
+                      fast_recip=fast_recip)
     intersect = geom.intersect
     intersect_pair = geom.intersect_pair
     normalize3 = geom.normalize3
@@ -954,7 +967,7 @@ def _kernel_bwd(
         pmat_ref[:], table_ref[:], etab_ref[:], cdf_ref[:], block,
         cab=cab_ref[:], cluster_k=cluster_k,
     )
-    (max_bounces, _p_rr, _min_dot, _eps, quirks, _pair) = cfg_static
+    (max_bounces, _p_rr, _min_dot, _eps, quirks, _pair, _fr) = cfg_static
     draw = _make_uniform_stream(fused_rng, u_ref, orig_ref, block)
 
     # Pass 1: forward replay, records to VMEM scratch (never HBM).
@@ -1083,6 +1096,7 @@ def _kernel_init(
     epsilon,
     tp,
     cluster_k,
+    fast_recip,
     # refs:
     p_ref,  # (3, BLOCK)
     d_ref,  # (3, BLOCK)
@@ -1096,7 +1110,8 @@ def _kernel_init(
     kernel, whose first intersect happens in the same place."""
     block = p_ref.shape[1]
     geom = _make_geom(tp, pmat_ref[:], block, min_dot, epsilon,
-                      cab=cab_ref[:], cluster_k=cluster_k)
+                      cab=cab_ref[:], cluster_k=cluster_k,
+                      fast_recip=fast_recip)
     _t, hit, idx_f, point = geom.intersect(p_ref[:], d_ref[:])
     zero3 = jnp.zeros((3, block), jnp.float32)
     zero1 = jnp.zeros((1, block), jnp.float32)
@@ -1394,7 +1409,8 @@ def unperm_rows(d: jnp.ndarray, perm) -> jnp.ndarray:
 
 def _cfg_static(cfg):
     return (cfg.max_bounces, cfg.p_rr, cfg.min_dot, cfg.epsilon,
-            cfg.reference_quirks, cfg.pair_sweep == "split")
+            cfg.reference_quirks, cfg.pair_sweep == "split",
+            getattr(cfg, "fast_recip", False))
 
 
 def _u_spec_and_arg(uniforms, keys, ray_spec, rows):
@@ -1675,7 +1691,8 @@ def init_tile_pallas(
         (rows, block), lambda i: (0, i), memory_space=pltpu.VMEM
     )
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-    kernel = functools.partial(_kernel_init, cfg.min_dot, cfg.epsilon, tp, ck)
+    kernel = functools.partial(_kernel_init, cfg.min_dot, cfg.epsilon, tp, ck,
+                               getattr(cfg, "fast_recip", False))
     return pl.pallas_call(
         kernel,
         grid=grid,

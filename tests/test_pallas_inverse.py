@@ -18,7 +18,7 @@ from inverse_path_tracer_tpu.ops.pallas.render_kernel import pallas_available
 
 pytestmark = pytest.mark.skipif(not pallas_available(), reason="no pallas")
 
-CFG = RenderConfig(width=16, height=16, spp=4, max_bounces=6, tile_size=1024)
+CFG = RenderConfig(fast_recip=False, width=16, height=16, spp=4, max_bounces=6, tile_size=1024)
 
 
 def _grids(cornell_scene, cfg, key):
@@ -89,7 +89,7 @@ def test_pallas_inverse_vertex_normal_scene_matches_xla():
 
     scene = _sphere_scene()
     key = jax.random.PRNGKey(5)
-    cfg = RenderConfig(width=8, height=8, spp=2, max_bounces=3, tile_size=128)
+    cfg = RenderConfig(fast_recip=False, width=8, height=8, spp=2, max_bounces=3, tile_size=128)
     ref = _grids(scene, cfg, key)
     got = _grids(scene, cfg.with_(backend="pallas"), key)
     cnt_diff = np.asarray(got.count) != np.asarray(ref.count)
@@ -150,7 +150,7 @@ def test_records_inverse_matches_xla_clustered():
     from inverse_path_tracer_tpu.ops.pallas.render_kernel import cluster_k_for
 
     scene = _many_cube_scene()
-    cfg = RenderConfig(width=16, height=16, spp=2, max_bounces=4,
+    cfg = RenderConfig(fast_recip=False, width=16, height=16, spp=2, max_bounces=4,
                        tile_size=512, rng="external")
     assert cluster_k_for(scene.vertices.shape[0], cfg) > 0
     key = jax.random.PRNGKey(0)
