@@ -98,7 +98,8 @@ def bench_forward(scene, cfg, iters=3):
         s, stats = jax.block_until_ready(run(scene.diffuse, key))
         times.append(time.time() - t0)
         rays = float(stats.segments) + float(stats.shadow_rays)
-    dt = min(times)
+    med = sorted(times)[len(times) // 2]
+    dt = min(t for t in times if t >= 0.5 * med)  # glitch guard
     log(f"fwd: {dt:.3f}s best of {iters} {[round(t, 3) for t in times]}, "
         f"rays={rays:.3e}, {rays/dt:.3e} rays/s")
 
@@ -137,7 +138,8 @@ def bench_inverse(scene, cfg, iters=2):
         t0 = time.time()
         jax.block_until_ready(run(jax.random.PRNGKey(i + 1)))
         times.append(time.time() - t0)
-    dt = min(times)
+    med = sorted(times)[len(times) // 2]
+    dt = min(t for t in times if t >= 0.5 * med)  # glitch guard
     log(f"inverse: {dt:.3f}s best of {iters}")
     return dt
 
@@ -163,7 +165,8 @@ def bench_forward_backward(scene, cfg, iters=3):
         g, stats = jax.block_until_ready(grad_fn(scene.diffuse, key))
         times.append(time.time() - t0)
         rays = float(stats.segments) + float(stats.shadow_rays)
-    dt = min(times)
+    med = sorted(times)[len(times) // 2]
+    dt = min(t for t in times if t >= 0.5 * med)  # glitch guard
     log(f"fwd+bwd: {dt:.3f}s best of {iters}, {rays/dt:.3e} rays/s")
     return rays / dt, rays
 

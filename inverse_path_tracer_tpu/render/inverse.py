@@ -365,10 +365,18 @@ def _grids_from_edge_records(
     pix_b = jnp.broadcast_to(pix.T[None], (b, 3, tile))  # (b, 3, tile)
 
     def quant(w_, f0, light, mask):
-        wf = w_ * f0 * mask
+        # Mask with where, NOT multiplication: a masked lane's recorded
+        # fields may be NaN (e.g. a degenerate NEE draw toward a
+        # co-located light point normalizes a ~zero vector before the
+        # ok-mask kills it), and NaN * 0 == NaN would poison the whole
+        # cumsum.  The in-kernel accumulator never exposes these only
+        # because its one-hot dst column is rebuilt from the mask;
+        # here the raw per-lane values are the stream.
+        wm = jnp.where(mask > 0, w_, 0.0)
+        wf = wm * f0
         return jnp.stack(
             [
-                w_ * mask,
+                wm,
                 wf,
                 wf * pix_b[:, 0],
                 wf * pix_b[:, 1],
@@ -509,9 +517,18 @@ def trace_transport_range(
             return _trace_transport_range_pallas(
                 scene, target_image01, key, cfg, start, count
             )
-        return _trace_transport_range_pallas_rec(
-            scene, target_image01, key, cfg, start, count
-        )
+        if cfg.backend == "pallas":
+            # KNOWN ISSUE (r4): the records path produces sporadic
+            # non-finite grid entries on real TPU hardware at large
+            # sample counts (scripts/smoke_tpu.py vn_inverse_rec;
+            # CPU-interpret parity is clean, so the suspect is the
+            # hardware fused-RNG stream hitting a degenerate NEE
+            # configuration the masking does not cover).  Until fixed,
+            # the records path is explicit-opt-in (backend="pallas")
+            # and "auto" routes large scenes to the XLA oracle.
+            return _trace_transport_range_pallas_rec(
+                scene, target_image01, key, cfg, start, count
+            )
     n_tri = scene.n_tri
     target_flat = target_image01.reshape(-1, 3)
     tile = min(cfg.tile_size, count)

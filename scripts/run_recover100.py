@@ -142,23 +142,30 @@ def main():
         g_cfg = cfg.with_(width=500, height=500, spp=100)
         gdir = os.path.join(RUN, "graph500")
         os.makedirs(gdir, exist_ok=True)
+        init_npy = os.path.join(RUN, "gcn_init.npy")
         t0g = time.time()
         preds = []
-        for i in range(n):
-            gp = os.path.join(gdir, f"{i}.png")
-            if not os.path.exists(gp):
-                render_to_png(scenes[i].diffuse, scenes[i],
-                              jax.random.fold_in(key, 50_000 + i), g_cfg, gp)
-            img = load_image01(gp)
-            w, pix, _l = extract_graph(
-                scenes[i], img, jax.random.fold_in(jax.random.PRNGKey(500), i),
-                g_cfg,
-            )
-            adj, feats = build_dense_graph(w, pix)
-            preds.append(gcn_forward(params, adj, feats))
-            if i % 20 == 0:
-                log(f"graph+gcn {i} done ({time.time()-t0g:.0f}s)")
-        init_mats = jnp.stack(preds)
+        if os.path.exists(init_npy):
+            init_mats = jnp.asarray(np.load(init_npy))
+            log("gcn init loaded from cache")
+        else:
+            for i in range(n):
+                gp = os.path.join(gdir, f"{i}.png")
+                if not os.path.exists(gp):
+                    render_to_png(scenes[i].diffuse, scenes[i],
+                                  jax.random.fold_in(key, 50_000 + i),
+                                  g_cfg, gp)
+                img = load_image01(gp)
+                w, pix, _l = extract_graph(
+                    scenes[i], img,
+                    jax.random.fold_in(jax.random.PRNGKey(500), i), g_cfg,
+                )
+                adj, feats = build_dense_graph(w, pix)
+                preds.append(gcn_forward(params, adj, feats))
+                if i % 20 == 0:
+                    log(f"graph+gcn {i} done ({time.time()-t0g:.0f}s)")
+            init_mats = jnp.stack(preds)
+            np.save(init_npy, np.asarray(init_mats))
         metrics["gcn_graphs_wall_s"] = round(time.time() - t0g, 1)
         ie = np.abs(np.asarray(init_mats) - labels)
         metrics["gcn_init_err"] = float(ie.mean())

@@ -77,7 +77,10 @@ def measure(scene, cfg, label, iters=3):
         _, stats = jax.block_until_ready(run(scene.diffuse, jax.random.PRNGKey(i + 1)))
         times.append(time.time() - t0)
         rays = float(stats.segments) + float(stats.shadow_rays)
-    dt = min(times)
+    med = sorted(times)[len(times) // 2]
+    # Guard against async-dispatch glitches (a 0.001s "iteration" was
+    # observed once): only trust iters within 2x of the median.
+    dt = min(t for t in times if t >= 0.5 * med)
     log(f"{label}: {rays/dt/1e6:.2f}M rays/s (best {dt:.3f}s, "
         f"all {[round(t,3) for t in times]}, compile {compile_s:.1f}s)")
     return {"rays_per_sec": rays / dt, "seconds": dt,
