@@ -330,6 +330,21 @@ def main():
 
     log(f"devices: {jax.devices()}")
     scene = load_scene(os.path.join(REF, "scenes/0.txt"), asset_root=REF)
+    # Warm the tunnel with a tiny compile first: a fresh process going
+    # straight to a large Mosaic compile can wedge the remote compile
+    # service for 400+ s (CLAUDE.md gotcha, observed repeatedly
+    # 2026-08-20/21).
+    t0 = time.time()
+    try:
+        from inverse_path_tracer_tpu.render.forward import render_samples as _rs
+        jax.block_until_ready(_rs(
+            scene.diffuse, scene, jax.random.PRNGKey(0),
+            RenderConfig(width=32, height=32, spp=2, max_bounces=4,
+                         tile_size=2048, backend=backend),
+        ))
+        log(f"warmup: {time.time()-t0:.1f}s")
+    except Exception as e:  # noqa: BLE001
+        log(f"warmup failed (continuing): {e}")
     cfg = RenderConfig(
         width=width, height=height, spp=spp, max_bounces=bounces, tile_size=tile,
         backend=backend, wavefront=wavefront, rng=rng, grad_mode=grad_mode,
@@ -371,10 +386,16 @@ def main():
             vn_rps = vn[0]
             vn_spread = [round(t, 4) for t in vn[3]]
 
-        vn_inv_s = section(
-            "vn_inverse",
-            lambda: bench_inverse(vn_sphere_scene(), cfg, iters=2),
-        )
+        vn_inv_s = None
+        if os.environ.get("BENCH_VN_INV", "0") == "1":
+            # Opt-in: the records extraction path has a KNOWN hardware
+            # non-finite issue (render/inverse.py) and the XLA
+            # comparison at any realistic config costs minutes.
+            vn_inv_s = section(
+                "vn_inverse",
+                lambda: bench_inverse(vn_sphere_scene(),
+                                      cfg.with_(backend="pallas"), iters=2),
+            )
         if vn_inv_s is not None:
             result_vn_inv = vn_inv_s
         else:
@@ -384,13 +405,15 @@ def main():
         # at the full bench config would take minutes).
         def vn_inv_ratio():
             sc = vn_sphere_scene()
-            small = cfg.with_(width=128, height=128, spp=8)
+            small = cfg.with_(width=128, height=128, spp=8, backend="pallas")
             t_rec = bench_inverse(sc, small, iters=2)
             t_xla = bench_inverse(sc, small.with_(backend="xla"), iters=1)
             log(f"vn inverse 128x128/8spp: records {t_rec:.2f}s vs XLA "
                 f"{t_xla:.2f}s -> {t_xla/t_rec:.1f}x")
             return t_xla / t_rec
-        vn_inv_x = section("vn_inverse_ratio", vn_inv_ratio)
+        vn_inv_x = None
+        if os.environ.get("BENCH_VN_INV", "0") == "1":
+            vn_inv_x = section("vn_inverse_ratio", vn_inv_ratio)
     else:
         result_vn_inv = vn_inv_x = None
 
