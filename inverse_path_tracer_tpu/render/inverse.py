@@ -403,13 +403,39 @@ def _grids_from_edge_records(
     order = jnp.argsort(keys)
     k2 = keys[order]
     v2 = vals[order]
-    c = jnp.concatenate(
-        [jnp.zeros((1, 9), jnp.float32), jnp.cumsum(v2, axis=0)], axis=0
+    # Compensated (double-float) cumulative sum: the reference-quirk
+    # path weights reach ~1e7, so a tile's running f32 total reaches
+    # ~1e13 and plain-cumsum differences lose EVERYTHING below
+    # ulp(total) ~ 1e6 — small bins came back as large negative garbage
+    # and log(w_sum + 1) went NaN on hardware (the round-4 records-path
+    # known issue; CPU tests at tiny M never reached the scale).  A
+    # (hi, lo) two-float carry keeps ~2^-48 relative error, and the
+    # boundary difference (hi[r] - hi[l] is Sterbenz-exact for nearby
+    # values) recovers small bins to ~ulp(lo) absolute.
+    def _comb(a, b):
+        ah, al = a
+        bh, bl = b
+        s = ah + bh
+        bv = s - ah
+        err = (ah - (s - bv)) + (bh - bv)  # exact two-sum residual
+        lo = al + bl + err
+        hi = s + lo
+        lo = lo - (hi - s)
+        return (hi, lo)
+
+    c_hi, c_lo = jax.lax.associative_scan(
+        _comb, (v2, jnp.zeros_like(v2)), axis=0
     )
+    z = jnp.zeros((1, 9), jnp.float32)
+    c_hi = jnp.concatenate([z, c_hi], axis=0)
+    c_lo = jnp.concatenate([z, c_lo], axis=0)
     bins = jnp.arange(n_bins, dtype=keys.dtype)
     left = jnp.searchsorted(k2, bins, side="left")
     right = jnp.searchsorted(k2, bins, side="right")
-    return c[right] - c[left]  # (n_bins, 9)
+    # NOTE: no clamping — quirk-mode path weights can be legitimately
+    # negative on vn scenes (cosine against the smooth normal), and the
+    # XLA oracle / dense-acc kernel accumulate them signed.
+    return (c_hi[right] - c_hi[left]) + (c_lo[right] - c_lo[left])
 
 
 def _trace_transport_range_pallas_rec(
