@@ -412,21 +412,16 @@ def _grids_from_edge_records(
     # (hi, lo) two-float carry keeps ~2^-48 relative error, and the
     # boundary difference (hi[r] - hi[l] is Sterbenz-exact for nearby
     # values) recovers small bins to ~ulp(lo) absolute.
-    def _comb(a, b):
-        ah, al = a
-        bh, bl = b
-        s = ah + bh
-        bv = s - ah
-        err = (ah - (s - bv)) + (bh - bv)  # exact two-sum residual
-        lo = al + bl + err
-        hi = s + lo
-        lo = lo - (hi - s)
-        return (hi, lo)
-
-    c_hi, c_lo = jax.lax.associative_scan(
-        _comb, (v2, jnp.zeros_like(v2)), axis=0
-    )
+    # Implementation note: a textbook two-sum associative_scan never
+    # finished remote-compiling on the tunneled chip; this equivalent
+    # uses only plain cumsums.  Adjacent cumsum differences are
+    # Sterbenz-exact in this regime (|v_i| << running total), so
+    # e = v - diff(c) is each step's EXACT rounding error and its own
+    # cumsum is the missing low-order mass.
+    c_hi = jnp.cumsum(v2, axis=0)
     z = jnp.zeros((1, 9), jnp.float32)
+    d = jnp.diff(c_hi, axis=0, prepend=z)
+    c_lo = jnp.cumsum(v2 - d, axis=0)
     c_hi = jnp.concatenate([z, c_hi], axis=0)
     c_lo = jnp.concatenate([z, c_lo], axis=0)
     bins = jnp.arange(n_bins, dtype=keys.dtype)
@@ -543,18 +538,9 @@ def trace_transport_range(
             return _trace_transport_range_pallas(
                 scene, target_image01, key, cfg, start, count
             )
-        if cfg.backend == "pallas":
-            # KNOWN ISSUE (r4): the records path produces sporadic
-            # non-finite grid entries on real TPU hardware at large
-            # sample counts (scripts/smoke_tpu.py vn_inverse_rec;
-            # CPU-interpret parity is clean, so the suspect is the
-            # hardware fused-RNG stream hitting a degenerate NEE
-            # configuration the masking does not cover).  Until fixed,
-            # the records path is explicit-opt-in (backend="pallas")
-            # and "auto" routes large scenes to the XLA oracle.
-            return _trace_transport_range_pallas_rec(
-                scene, target_image01, key, cfg, start, count
-            )
+        return _trace_transport_range_pallas_rec(
+            scene, target_image01, key, cfg, start, count
+        )
     n_tri = scene.n_tri
     target_flat = target_image01.reshape(-1, 3)
     tile = min(cfg.tile_size, count)
@@ -593,8 +579,16 @@ def compress_grids(grids: TransportGrids, n_tri: int) -> Tuple[jnp.ndarray, jnp.
     """DataWrapper::compress (inv_scene.h:87-115): returns
     (w (nT+1, nT) row-normalized log weights,
      pixel (nT+1, nT, 3) DIFFUSE channel,
-     light (nT+1, nT, 3) DIFFUSE channel)."""
-    w = jnp.log(grids.w_sum + 1.0).reshape(n_tri + 1, n_tri)
+     light (nT+1, nT, 3) DIFFUSE channel).
+
+    The log's argument is clamped at zero: on smooth-shaded (vn) scenes
+    quirk-mode path weights can go negative (sampled direction below
+    the SMOOTH normal while the pdf cosine uses it), so a bin's w_sum
+    can be legitimately < -1 and logf would return NaN — as the
+    reference's own compress would, but the reference only ever runs
+    flat scenes (where weights are non-negative and the clamp is an
+    exact no-op)."""
+    w = jnp.log(jnp.maximum(grids.w_sum, 0.0) + 1.0).reshape(n_tri + 1, n_tri)
     f = grids.factors_sum
     denom = jnp.where(f != 0.0, f, 1.0)  # (B, 2)
     pixel = (grids.pixel_sum / denom[:, :, None])[:, 0, :].reshape(n_tri + 1, n_tri, 3)

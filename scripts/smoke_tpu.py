@@ -114,12 +114,10 @@ def paths(scene, vn_scene):
         ("vn_mega_fwd", lambda: _fwd(vn_scene, mega)),
         ("vn_mega_bwd", lambda: _bwd(vn_scene, mega)),
         # Large-scene records-mode inverse (HBM edge stream + XLA
-        # sort/segment reduction): the sphere is past the dense-VMEM
-        # accumulator's fits gate, so this exercises the rec kernel.
-        # KNOWN ISSUE r4: sporadic non-finite grid entries on hardware
-        # (render/inverse.py trace_transport_range note) — tracked here
-        # but not gate-failing until fixed.
-        ("vn_inverse_rec?known", lambda: _inverse(vn_scene, BASE)),
+        # error-compensated sort/segment reduction): the sphere is past
+        # the dense-VMEM accumulator's fits gate, so this exercises the
+        # rec kernel end to end.
+        ("vn_inverse_rec", lambda: _inverse(vn_scene, BASE)),
         ("staged_fwd_while_loop",
          lambda: _fwd(scene, staged.with_(stage_loop="while"))),
         ("default_cfg_fwd", lambda: _fwd(scene, BASE)),  # whatever "auto" resolves to
