@@ -47,18 +47,10 @@ def sphere_scene():
 
 # label -> cfg overrides (applied to the bench base config).
 VARIANTS = {
-    # stage_loop="fori" (static-trip stage body) vs the round-3 "while".
-    "w_k1536_sb4":   dict(cluster_k=1536, stage_bounces=4,
-                          stage_loop="while"),  # sweep-4 best (25.56M)
-    "f_k1536_sb2":   dict(cluster_k=1536),
-    "f_k1536_sb4":   dict(cluster_k=1536, stage_bounces=4),
-    "f_k1536_sb8":   dict(cluster_k=1536, stage_bounces=8),
-    "f_k768_sb4":    dict(cluster_k=768, stage_bounces=4),
-    "f_hot512_sb4":  dict(cluster_k=512, stage_bounces=4),
-    "f_hot512_sb2":  dict(cluster_k=512),
-    "f_k768_sb2":    dict(cluster_k=768),
-    "w_k1536_sb4_b": dict(cluster_k=1536, stage_bounces=4,
-                          stage_loop="while"),  # drift bound
+    "base":         dict(),  # shipped auto: k=tp/2=768, sb4, fori, union
+    "split":        dict(pair_sweep="split"),  # per-ray cold-segment skip
+    "cells4":       dict(bin_cells=4),
+    "base_again":   dict(),  # drift bound
 }
 
 
