@@ -170,6 +170,24 @@ def recover_materials_batched(
     losses = []
     avg = None
     n_avg = 0
+    # The Polyak accumulator is checkpointed alongside (thetas, states)
+    # so a resume INSIDE the final-K averaging window is bit-identical
+    # to an uninterrupted run (the bit-exact-resume contract).
+    avg_path = (checkpoint_path + ".avg") if checkpoint_path else None
+    if (
+        resume
+        and average_last
+        and avg_path
+        and os.path.exists(avg_path)
+        and start_step > steps - average_last
+    ):
+        from inverse_path_tracer_tpu.utils.checkpoint import load_checkpoint
+
+        (avg, n_avg_a), _ = load_checkpoint(
+            avg_path,
+            (jnp.zeros_like(thetas), jnp.zeros((), jnp.int32)),
+        )
+        n_avg = int(n_avg_a)
     for i in range(start_step, steps):
         rkey = jax.random.fold_in(key, i)
         keys = jax.vmap(lambda j: jax.random.fold_in(rkey, j))(jnp.arange(s))
@@ -185,6 +203,10 @@ def recover_materials_batched(
             from inverse_path_tracer_tpu.utils.checkpoint import save_checkpoint
 
             save_checkpoint(checkpoint_path, (thetas, states), step=i + 1)
+            if average_last and avg is not None:
+                save_checkpoint(
+                    avg_path, (avg, jnp.int32(n_avg)), step=i + 1
+                )
     if avg is not None and n_avg > 0:
         return avg / n_avg, losses
     return jax.nn.sigmoid(thetas), losses

@@ -151,10 +151,14 @@ def cluster_k_for(n_tri: int, cfg) -> int:
     tp8 = _round_up(max(n_tri, 8), 8)
     if tp8 < CLUSTER_MIN_TP:
         return 0
-    if cfg.cluster_k:
-        return cfg.cluster_k
-    if CLUSTER_K:
-        return CLUSTER_K
+    for k in (cfg.cluster_k, CLUSTER_K):
+        if k:
+            # A non-multiple-of-8 override makes _pack_tables' padded
+            # width non-sublane-aligned — a Mosaic layout failure that
+            # only manifests on hardware; round up rather than crash.
+            if k < 0:
+                raise ValueError(f"cluster_k must be positive, got {k}")
+            return _round_up(k, 8)
     return min(1024, max(256, _round_up(tp8 // 2, 128)))
 
 

@@ -113,11 +113,30 @@ def _edge_update(
         ],
         axis=1,
     )  # (N, 16)
-    # G[d, s, k] = sum_r dst_oh[r,d] src_oh[r,s] vals[r,k]; contract the
-    # lane axis with one matmul per k (k is tiny, N is the MXU K-dim).
-    g = jnp.stack(
-        [dst_oh.T @ (src_oh * vals[:, k : k + 1]) for k in range(16)], axis=-1
-    )  # (nT+1, nT, 16)
+    # G[d, s, k] = sum_r dst_oh[r,d] src_oh[r,s] vals[r,k]: contract the
+    # lane axis with ONE (nT+1, N) x (N, nT*16) MXU matmul.  (A Python
+    # loop of 16 thin per-k matmuls computes the same thing at the same
+    # FLOPs but re-reads dst_oh/src_oh 16x and materializes 16 masked
+    # (N, nT) intermediates; on the 1298-tri vn scene these one-hot
+    # contractions dominate the whole oracle.)  The (N, nT*16) operand
+    # is materialized, so the lane axis is chunked to keep it under
+    # ~512 MB — a 65536-lane tile at 1298 triangles would otherwise
+    # need a 5.4 GB buffer inside a checkpointed scan.
+    n = w.shape[0]
+    cols = n_tri * 16
+    max_chunk = max(8, (1 << 27) // max(cols, 1))  # 2^27 f32 = 512 MB
+    n_chunks = max(1, -(-n // max_chunk))
+    while n % n_chunks:
+        n_chunks += 1
+    c = n // n_chunks
+    # (nT+1, nT*16) row-major is (s, k)-minor, so the flat reshape below
+    # lands g[(d*nT + s), k] exactly as the grid layout expects.
+    g = None
+    for i in range(n_chunks):
+        sl = slice(i * c, (i + 1) * c)
+        sv = (src_oh[sl, :, None] * vals[sl, None, :]).reshape(c, cols)
+        gi = dst_oh[sl].T @ sv
+        g = gi if g is None else g + gi
     g = g.reshape((n_tri + 1) * n_tri, 16)
     return TransportGrids(
         w_sum=grids.w_sum + g[:, 0],

@@ -74,9 +74,10 @@ def main():
         f"(targets {target_spp}spp, {n_keys} grad keys/step), "
         f"{args.steps} steps -> {RUN}")
 
+    lr = float(os.environ.get("R100_LR", 5e-2))
     metrics = {"config": {"n": n, "res": res, "spp": spp,
                           "target_spp": target_spp, "n_keys": n_keys,
-                          "avg_last": avg_last,
+                          "avg_last": avg_last, "lr": lr,
                           "steps": args.steps,
                           "devices": [str(d) for d in jax.devices()]}}
 
@@ -170,6 +171,9 @@ def main():
         ie = np.abs(np.asarray(init_mats) - labels)
         metrics["gcn_init_err"] = float(ie.mean())
         metrics["gcn_init_err_cube"] = float(ie[:, 18:, :].mean())
+        metrics["gcn_init_per_face_cube_err"] = [
+            round(float(v), 4) for v in ie[:, 18:, :].mean(axis=(0, 2))
+        ]
         metrics["config"]["init"] = "gcn"
         log(f"gcn init: mean |err| vs labels "
             f"{float(np.abs(np.asarray(init_mats) - labels).mean()):.4f}")
@@ -185,8 +189,7 @@ def main():
         lf.flush()
 
     mats, losses = recover_materials_batched(
-        scenes[0], targets, cfg, steps=args.steps,
-        lr=float(os.environ.get("R100_LR", 5e-2)),
+        scenes[0], targets, cfg, steps=args.steps, lr=lr,
         key=jax.random.PRNGKey(0), log_fn=log_fn,
         checkpoint_path=os.path.join(RUN, "ckpt.npz"), checkpoint_every=25,
         resume=True, n_keys=n_keys, average_last=avg_last,
@@ -203,6 +206,9 @@ def main():
     err_cube = err[:, 18:, :]
     metrics["mean_kd_err"] = float(err.mean())
     metrics["mean_kd_err_cube"] = float(err_cube.mean())
+    metrics["per_face_cube_err"] = [
+        round(float(v), 4) for v in err_cube.mean(axis=(0, 2))
+    ]
     metrics["max_scene_err"] = float(err.mean(axis=(1, 2)).max())
     metrics["final_loss"] = losses[-1] if losses else None
     log(f"recover: {metrics['recover_wall_s']}s, mean |Kd err| "

@@ -152,8 +152,6 @@ def main():
     results = {}
     failed = []
     for name, fn in paths(scene, vn_scene):
-        known = name.endswith("?known")
-        name = name.rstrip("?known") if False else name.replace("?known", "")
         t = time.time()
         try:
             fn()
@@ -161,9 +159,8 @@ def main():
         except Exception as e:  # noqa: BLE001 — the gate must survive any kernel failure
             msg = f"{type(e).__name__}: {e}"
             results[name] = {"ok": False, "seconds": round(time.time() - t, 2),
-                             "error": msg[:500], "known_issue": known}
-            if not known:
-                failed.append(name)
+                             "error": msg[:500]}
+            failed.append(name)
         print(f"{name}: {results[name]}", file=sys.stderr, flush=True)
 
     out = {"backend": jax.default_backend(), "total_seconds":
