@@ -60,9 +60,11 @@ REPS = 64  # gathers per kernel call (amortize launch overhead)
 
 
 def gather_case(s, b, axis):
-    """take_along_axis with full-shape indices -> tpu.dynamic_gather."""
+    """take_along_axis with full-shape indices -> tpu.dynamic_gather.
+    Indices vary per LANE (constant down each column) — the traversal
+    pattern, where each lane fetches its own triangle's quantities."""
     tab = (jnp.arange(s * b, dtype=jnp.float32).reshape(s, b) % 977.0)
-    base = (jax.lax.broadcasted_iota(jnp.int32, (s, b), 1 - axis) * 37)
+    base = (jax.lax.broadcasted_iota(jnp.int32, (s, b), 1) * 37)
     idx = base % (s if axis == 0 else b)
 
     def build():
@@ -149,9 +151,15 @@ def main():
     jax.block_until_ready(jnp.dot(jnp.eye(8), jnp.eye(8)))
 
     results = []
-    for s, b in ((1536, 512), (128, 512), (1536, 2048)):
+    for s, b in ((1536, 512), (128, 512)):
         bld, args = gather_case(s, b, 0)
         results.append(try_case(f"dyngather_sublane_{s}x{b}", bld, args))
+        bld, args = gather_case(s, b, 1)
+        results.append(try_case(f"dyngather_lane_{s}x{b}", bld, args))
+    # The traversal-shaped case: a (Q, Tp) quantities-x-triangles table,
+    # each of Tp lane-columns gathering its own triangle's Q rows via a
+    # lane-axis gather.  One call serves Tp lanes x Q quantities.
+    for s, b in ((16, 1536), (16, 4096), (32, 1536)):
         bld, args = gather_case(s, b, 1)
         results.append(try_case(f"dyngather_lane_{s}x{b}", bld, args))
     for s, b in ((1536, 512),):

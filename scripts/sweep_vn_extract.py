@@ -289,6 +289,63 @@ def main():
         out[name] = timeit(name, lambda fn=fn: jax.jit(fn)(rec0, pix0))
         out[name]["max_delta_rel"] = rel
 
+    # --- oracle edge_update: shipped single-matmul vs the r04 k-loop
+    # (same-process A/B on captured lane data; VERDICT r4 task 5) ---
+    from inverse_path_tracer_tpu.render.inverse import (
+        TransportGrids,
+        _edge_update,
+        _zero_grids,
+    )
+
+    n_lanes = 16384
+    kk = jax.random.PRNGKey(5)
+    dst_l = jax.random.randint(kk, (n_lanes,), 0, n_tri + 1)
+    src_l = jax.random.randint(jax.random.fold_in(kk, 1), (n_lanes,), 0, n_tri)
+    w_l = jax.random.uniform(jax.random.fold_in(kk, 2), (n_lanes,))
+    pix_l = jax.random.uniform(jax.random.fold_in(kk, 3), (n_lanes, 3))
+    li_l = jnp.zeros((n_lanes, 3))
+    fa_l = jnp.ones((n_lanes, 2))
+    ma_l = w_l > 0.1
+    g0 = _zero_grids(n_tri, jnp.float32(0.0))
+
+    def edge_update_loop16(grids, n_tri_, dst, src, w, pixel, light,
+                           factors, mask):
+        """The r04 implementation: 16 thin per-k matmuls."""
+        mf = mask.astype(w.dtype)
+        dst_oh = (dst[:, None] == jnp.arange(n_tri_ + 1)[None, :]).astype(w.dtype)
+        dst_oh = dst_oh * mf[:, None]
+        src_oh = (src[:, None] == jnp.arange(n_tri_)[None, :]).astype(w.dtype)
+        w_m = w * mf
+        wf = w_m[:, None] * factors
+        vals = jnp.concatenate(
+            [w_m[:, None], wf, wf[:, 0:1] * pixel, wf[:, 1:2] * pixel,
+             wf[:, 0:1] * light, wf[:, 1:2] * light, mf[:, None]], axis=1)
+        g = jnp.stack(
+            [dst_oh.T @ (src_oh * vals[:, k: k + 1]) for k in range(16)],
+            axis=-1,
+        ).reshape((n_tri_ + 1) * n_tri_, 16)
+        return TransportGrids(
+            w_sum=grids.w_sum + g[:, 0],
+            factors_sum=grids.factors_sum + g[:, 1:3],
+            pixel_sum=grids.pixel_sum + g[:, 3:9].reshape(-1, 2, 3),
+            light_sum=grids.light_sum + g[:, 9:15].reshape(-1, 2, 3),
+            count=grids.count + g[:, 15],
+        )
+
+    args_eu = (g0, n_tri, dst_l, src_l, w_l, pix_l, li_l, fa_l, ma_l)
+    a_new = jax.block_until_ready(jax.jit(
+        lambda *a: _edge_update(*a))(*args_eu))
+    a_old = jax.block_until_ready(jax.jit(
+        lambda *a: edge_update_loop16(*a))(*args_eu))
+    d = jax.tree.map(lambda x, y: float(jnp.max(jnp.abs(x - y))), a_new, a_old)
+    log(f"edge_update old-vs-new max|delta|: {d}")
+    out["oracle_edge_update_new"] = timeit(
+        "oracle_edge_update_new",
+        lambda: jax.jit(lambda *a: _edge_update(*a))(*args_eu), iters=5)
+    out["oracle_edge_update_old16"] = timeit(
+        "oracle_edge_update_old16",
+        lambda: jax.jit(lambda *a: edge_update_loop16(*a))(*args_eu), iters=5)
+
     # --- optional: the r04 large config end-to-end ---
     if os.environ.get("VNX_BIG", "0") == "1":
         big = cfg.with_(width=256, height=256, spp=16)

@@ -98,6 +98,40 @@ def test_recover_batched_checkpoint_resume(cornell_scene, tmp_path):
     np.testing.assert_array_equal(np.asarray(full), np.asarray(resumed))
 
 
+def test_recover_batched_resume_inside_avg_window(cornell_scene, tmp_path):
+    """Resuming INSIDE the final-K Polyak-averaging window is
+    bit-identical to the uninterrupted run: the accumulator is
+    checkpointed alongside (thetas, states) (advisor r4 finding)."""
+    from inverse_path_tracer_tpu.config import RenderConfig
+    from inverse_path_tracer_tpu.models.recover import recover_materials_batched
+    from inverse_path_tracer_tpu.render.forward import render_image
+
+    cfg = RenderConfig(width=16, height=16, spp=4, max_bounces=3, tile_size=256)
+    key = jax.random.PRNGKey(0)
+    targets = jnp.stack(
+        [render_image(cornell_scene.diffuse, cornell_scene, key, cfg)]
+    )
+    ckpt = str(tmp_path / "avg.npz")
+    full, _ = recover_materials_batched(
+        cornell_scene, targets, cfg, steps=10, lr=0.1, key=key,
+        average_last=6,
+    )
+    # Simulate the 10-step run killed right after step 8's checkpoint:
+    # by then the window (which starts at step 4) holds steps 4..7, so
+    # the stand-in short run uses average_last=4 to accumulate exactly
+    # that prefix before saving.
+    recover_materials_batched(
+        cornell_scene, targets, cfg, steps=8, lr=0.1, key=key,
+        average_last=4, checkpoint_path=ckpt, checkpoint_every=4,
+    )
+    assert os.path.exists(ckpt + ".avg")
+    resumed, _ = recover_materials_batched(
+        cornell_scene, targets, cfg, steps=10, lr=0.1, key=key,
+        average_last=6, checkpoint_path=ckpt, resume=True,
+    )
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(resumed))
+
+
 def test_recover_batched_sharded_matches_single(cornell_scene):
     """The mesh-sharded batched step computes the same recovery as the
     single-chip batched step (psum'd grads == full-batch grads)."""
