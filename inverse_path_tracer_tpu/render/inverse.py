@@ -113,31 +113,39 @@ def _edge_update(
         ],
         axis=1,
     )  # (N, 16)
-    # G[d, s, k] = sum_r dst_oh[r,d] src_oh[r,s] vals[r,k]: contract the
-    # lane axis with ONE (nT+1, N) x (N, nT*16) MXU matmul.  (A Python
-    # loop of 16 thin per-k matmuls computes the same thing at the same
-    # FLOPs but re-reads dst_oh/src_oh 16x and materializes 16 masked
-    # (N, nT) intermediates; on the 1298-tri vn scene these one-hot
-    # contractions dominate the whole oracle.)  The (N, nT*16) operand
-    # is materialized, so the lane axis is chunked to keep it under
-    # ~512 MB — a 65536-lane tile at 1298 triangles would otherwise
-    # need a 5.4 GB buffer inside a checkpointed scan.
+    # G[d, s, k] = sum_r dst_oh[r,d] src_oh[r,s] vals[r,k].  Two
+    # equivalent contraction shapes, picked by scene size (same-process
+    # v5e A/B, scripts/sweep_vn_extract.py r05):
+    #   * small scenes: ONE (nT+1, N) x (N, nT*16) MXU matmul — at the
+    #     reference's 30 triangles this beats the k-loop ~1.6x (one
+    #     dispatch, operands read once);
+    #   * large scenes: a loop of 16 thin per-k matmuls — at 1298
+    #     triangles the fused form's materialized (N, nT*16) operand
+    #     (1.4 GB/tile, lane-chunked to 512 MB pieces) made it 1.3x
+    #     SLOWER per call (74 vs 56 ms at N=16384); the k-loop is
+    #     already the optimal k-chunking there.
     n = w.shape[0]
     cols = n_tri * 16
-    max_chunk = max(8, (1 << 27) // max(cols, 1))  # 2^27 f32 = 512 MB
-    n_chunks = max(1, -(-n // max_chunk))
-    while n % n_chunks:
-        n_chunks += 1
-    c = n // n_chunks
-    # (nT+1, nT*16) row-major is (s, k)-minor, so the flat reshape below
-    # lands g[(d*nT + s), k] exactly as the grid layout expects.
-    g = None
-    for i in range(n_chunks):
-        sl = slice(i * c, (i + 1) * c)
-        sv = (src_oh[sl, :, None] * vals[sl, None, :]).reshape(c, cols)
-        gi = dst_oh[sl].T @ sv
-        g = gi if g is None else g + gi
-    g = g.reshape((n_tri + 1) * n_tri, 16)
+    if cols <= 8192:
+        max_chunk = max(8, (1 << 27) // cols)  # 2^27 f32 = 512 MB
+        n_chunks = max(1, -(-n // max_chunk))
+        while n % n_chunks:
+            n_chunks += 1
+        c = n // n_chunks
+        # (nT+1, nT*16) row-major is (s, k)-minor, so the flat reshape
+        # lands g[(d*nT + s), k] exactly as the grid layout expects.
+        g = None
+        for i in range(n_chunks):
+            sl = slice(i * c, (i + 1) * c)
+            sv = (src_oh[sl, :, None] * vals[sl, None, :]).reshape(c, cols)
+            gi = dst_oh[sl].T @ sv
+            g = gi if g is None else g + gi
+        g = g.reshape((n_tri + 1) * n_tri, 16)
+    else:
+        g = jnp.stack(
+            [dst_oh.T @ (src_oh * vals[:, k : k + 1]) for k in range(16)],
+            axis=-1,
+        ).reshape((n_tri + 1) * n_tri, 16)
     return TransportGrids(
         w_sum=grids.w_sum + g[:, 0],
         factors_sum=grids.factors_sum + g[:, 1:3],
@@ -444,8 +452,17 @@ def _grids_from_edge_records(
     c_hi = jnp.concatenate([z, c_hi], axis=0)
     c_lo = jnp.concatenate([z, c_lo], axis=0)
     bins = jnp.arange(n_bins, dtype=keys.dtype)
-    left = jnp.searchsorted(k2, bins, side="left")
-    right = jnp.searchsorted(k2, bins, side="right")
+    # Bin lookup: searchsorted with method="sort" (co-sort queries and
+    # keys) instead of the default binary search — the r05 decomposition
+    # (scripts/sweep_vn_extract.py) measured the default's 21-step
+    # gathered binary search as 65% of the whole reduction (0.52 s of
+    # 0.80 s per 2.1M-record tile on v5e) while the sort-method costs
+    # 0.063 s; and since `bins` is the complete range, left boundaries
+    # are just the right boundaries shifted ([0] ++ right[:-1]) — the
+    # second searchsorted is free.  Validated bit-exact against the
+    # two-searchsorted form on TPU and CPU.
+    right = jnp.searchsorted(k2, bins, side="right", method="sort")
+    left = jnp.concatenate([jnp.zeros((1,), right.dtype), right[:-1]])
     # NOTE: no clamping — quirk-mode path weights can be legitimately
     # negative on vn scenes (cosine against the smooth normal), and the
     # XLA oracle / dense-acc kernel accumulate them signed.

@@ -55,6 +55,15 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if os.environ.get("GATE_CPU", "0") == "1":
+    # Run the (tiny) gate compute on the CPU backend so this script can
+    # run while the TPU is busy with a recovery/bench job.  Needs BOTH
+    # the env and the config update (the sitecustomize plugin re-forces
+    # 'axon,cpu' — CLAUDE.md gotcha).
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 REF = "/root/reference"
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ART = os.path.join(ROOT, "artifacts", "exp100")

@@ -332,19 +332,19 @@ def main():
             count=grids.count + g[:, 15],
         )
 
-    args_eu = (g0, n_tri, dst_l, src_l, w_l, pix_l, li_l, fa_l, ma_l)
-    a_new = jax.block_until_ready(jax.jit(
-        lambda *a: _edge_update(*a))(*args_eu))
-    a_old = jax.block_until_ready(jax.jit(
-        lambda *a: edge_update_loop16(*a))(*args_eu))
+    args_eu = (g0, dst_l, src_l, w_l, pix_l, li_l, fa_l, ma_l)
+    # n_tri is a static shape parameter — close over it (tracing it
+    # would hit jnp.arange with an abstract stop).
+    f_new = jax.jit(lambda g, *a: _edge_update(g, n_tri, *a))
+    f_old = jax.jit(lambda g, *a: edge_update_loop16(g, n_tri, *a))
+    a_new = jax.block_until_ready(f_new(*args_eu))
+    a_old = jax.block_until_ready(f_old(*args_eu))
     d = jax.tree.map(lambda x, y: float(jnp.max(jnp.abs(x - y))), a_new, a_old)
     log(f"edge_update old-vs-new max|delta|: {d}")
     out["oracle_edge_update_new"] = timeit(
-        "oracle_edge_update_new",
-        lambda: jax.jit(lambda *a: _edge_update(*a))(*args_eu), iters=5)
+        "oracle_edge_update_new", lambda: f_new(*args_eu), iters=5)
     out["oracle_edge_update_old16"] = timeit(
-        "oracle_edge_update_old16",
-        lambda: jax.jit(lambda *a: edge_update_loop16(*a))(*args_eu), iters=5)
+        "oracle_edge_update_old16", lambda: f_old(*args_eu), iters=5)
 
     # --- optional: the r04 large config end-to-end ---
     if os.environ.get("VNX_BIG", "0") == "1":
