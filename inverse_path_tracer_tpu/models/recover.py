@@ -118,6 +118,7 @@ def recover_materials_batched(
     n_keys: int = 1,
     average_last: int = 0,
     init_materials: Optional[jnp.ndarray] = None,
+    scene_chunk: int = 0,
 ) -> Tuple[jnp.ndarray, List[float]]:
     """Batched inverse recovery over S scenes (BASELINE.json configs
     #4/#5).  The reference's 100 scenes share geometry and differ only in
@@ -137,6 +138,16 @@ def recover_materials_batched(
     wander cuts it ~sqrt(K) at zero extra render cost — this is where
     the weakly-observed cube faces' residual lives (see
     scripts/run_recover100.py).
+
+    scene_chunk = C > 0 dispatches each optimizer step as ceil(S/C)
+    device programs of C scenes instead of one S-scene program.
+    Scenes are independent (per-scene theta/opt-state/key/target), so
+    the math is identical; the knob exists because the tunneled-TPU
+    environment KILLS any single device program running longer than
+    ~60 s (measured: a benign 190 s matmul loop dies at 62 s with "TPU
+    worker process crashed or restarted"), and a 100-scene step at
+    512²/256 spp is a ~160 s program.  Keep each chunk's device time
+    under ~50 s.
 
     init_materials (S, nT, 3) in (0, 1) warm-starts theta at
     logit(init) instead of 0 (i.e. Kd = 0.5).  The intended source is
@@ -188,10 +199,28 @@ def recover_materials_batched(
             (jnp.zeros_like(thetas), jnp.zeros((), jnp.int32)),
         )
         n_avg = int(n_avg_a)
+    c = scene_chunk if 0 < scene_chunk < s else s
     for i in range(start_step, steps):
         rkey = jax.random.fold_in(key, i)
         keys = jax.vmap(lambda j: jax.random.fold_in(rkey, j))(jnp.arange(s))
-        thetas, states, step_losses = step(thetas, states, keys, targets01)
+        if c == s:
+            thetas, states, step_losses = step(thetas, states, keys, targets01)
+        else:
+            parts = []
+            for a in range(0, s, c):
+                sl = slice(a, min(a + c, s))
+                part = step(
+                    jax.tree.map(lambda x: x[sl], thetas),
+                    jax.tree.map(lambda x: x[sl], states),
+                    keys[sl],
+                    targets01[sl],
+                )
+                parts.append(part)
+            thetas = jnp.concatenate([p[0] for p in parts])
+            states = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs), *[p[1] for p in parts]
+            )
+            step_losses = jnp.concatenate([p[2] for p in parts])
         losses.append(float(step_losses.mean()))
         if average_last and i >= steps - average_last:
             m = jax.nn.sigmoid(thetas)

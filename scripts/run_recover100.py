@@ -66,6 +66,11 @@ def main():
     n_keys = int(os.environ.get("R100_KEYS", 1))
     avg_last = int(os.environ.get("R100_AVG", 0))
     n = int(os.environ.get("R100_SCENES", 100))
+    # Scenes per device program.  The tunneled TPU kills any single
+    # program over ~60 s (see recover_materials_batched docstring), so
+    # large-res/spp configs must chunk; keep chunks under ~50 s of
+    # device time and divide n to avoid a ragged-shape recompile.
+    scene_chunk = int(os.environ.get("R100_SCENE_CHUNK", 0))
     cfg = RenderConfig(width=res, height=res, spp=spp, max_bounces=16,
                        tile_size=1 << 16)
     target_cfg = cfg.with_(spp=target_spp)
@@ -79,6 +84,7 @@ def main():
                           "target_spp": target_spp, "n_keys": n_keys,
                           "avg_last": avg_last, "lr": lr,
                           "steps": args.steps,
+                          "scene_chunk": scene_chunk,
                           "devices": [str(d) for d in jax.devices()]}}
 
     # Warm the tunnel with a tiny compile first: a fresh process going
@@ -193,7 +199,7 @@ def main():
         key=jax.random.PRNGKey(0), log_fn=log_fn,
         checkpoint_path=os.path.join(RUN, "ckpt.npz"), checkpoint_every=25,
         resume=True, n_keys=n_keys, average_last=avg_last,
-        init_materials=init_mats,
+        init_materials=init_mats, scene_chunk=scene_chunk,
     )
     lf.close()
     metrics["recover_wall_s"] = round(time.time() - t0, 1)

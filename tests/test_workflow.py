@@ -98,6 +98,33 @@ def test_recover_batched_checkpoint_resume(cornell_scene, tmp_path):
     np.testing.assert_array_equal(np.asarray(full), np.asarray(resumed))
 
 
+def test_recover_batched_scene_chunk_identical(cornell_scene):
+    """scene_chunk splits each step into several device programs (the
+    tunneled TPU kills programs >~60 s); scenes are independent, so the
+    chunked step must be bit-identical to the single-dispatch step."""
+    from inverse_path_tracer_tpu.config import RenderConfig
+    from inverse_path_tracer_tpu.models.recover import recover_materials_batched
+    from inverse_path_tracer_tpu.render.forward import render_image
+
+    cfg = RenderConfig(width=16, height=16, spp=4, max_bounces=3, tile_size=256)
+    key = jax.random.PRNGKey(0)
+    targets = jnp.stack(
+        [
+            render_image(cornell_scene.diffuse, cornell_scene, key, cfg),
+            render_image(cornell_scene.diffuse * 0.5, cornell_scene, key, cfg),
+            render_image(cornell_scene.diffuse * 0.8, cornell_scene, key, cfg),
+            render_image(cornell_scene.diffuse * 0.2, cornell_scene, key, cfg),
+        ]
+    )
+    whole, _ = recover_materials_batched(
+        cornell_scene, targets, cfg, steps=4, lr=0.1, key=key
+    )
+    chunked, _ = recover_materials_batched(
+        cornell_scene, targets, cfg, steps=4, lr=0.1, key=key, scene_chunk=2
+    )
+    np.testing.assert_array_equal(np.asarray(whole), np.asarray(chunked))
+
+
 def test_recover_batched_resume_inside_avg_window(cornell_scene, tmp_path):
     """Resuming INSIDE the final-K Polyak-averaging window is
     bit-identical to the uninterrupted run: the accumulator is
