@@ -125,3 +125,57 @@ def test_compress_semantics():
     np.testing.assert_allclose(np.asarray(pix)[0, 0], [2.0, 1.0, 0.0], atol=1e-6)
     # Zero factors -> divide by 1 (no NaN).
     assert not np.isnan(np.asarray(pix)).any()
+
+
+def test_records_reduction_compensated_at_scale(cornell_scene):
+    """The records-path segment reduction must recover SMALL bins
+    exactly even when the tile's running cumsum total reaches ~1e13 —
+    the round-4 hardware-only NaN bug: plain f32 cumsum boundary
+    differences lose everything below ulp(total) ~ 1e6, returning
+    large negative garbage for tiny bins (CPU tests at tiny M never
+    reached the scale; this one does)."""
+    from inverse_path_tracer_tpu.render.inverse import (
+        _grids_from_edge_records,
+    )
+
+    rng = np.random.default_rng(7)
+    b, tile = 16, 65536  # M = 2*b*tile ~ 2M records, like a real tile
+    n_tri = cornell_scene.n_tri
+    # Indirect edges: almost every record carries a quirk-scale weight
+    # (~1e7, like reference-quirk path weights) into high bins; a tiny
+    # sprinkle of ~1e-3 weights lands in bin (dst=0, src=1) EARLY in
+    # key order so the cumsum prefix above it is ~1e13.
+    dst = rng.integers(5, n_tri + 1, size=(b, tile)).astype(np.float32)
+    src = rng.integers(0, n_tri, size=(b, tile)).astype(np.float32)
+    w = rng.uniform(0.5e7, 1e7, size=(b, tile)).astype(np.float32)
+    tiny_rows = np.arange(64)
+    dst[0, tiny_rows] = 0.0
+    src[0, tiny_rows] = 1.0
+    w[0, tiny_rows] = rng.uniform(1e-3, 2e-3, size=64).astype(np.float32)
+    hit = np.ones((b, tile), np.float32)
+    rec = np.zeros((b, 8, tile), np.float32)
+    rec[:, 0] = dst
+    rec[:, 1] = src
+    rec[:, 2] = hit
+    rec[:, 3] = w
+    # rows 4..6: nee ok/weight/e_idx all zero -> no NEE edges.
+    rec = jnp.asarray(rec.reshape(b * 8, tile))
+    pix = jnp.zeros((tile, 3), jnp.float32)
+
+    dense = np.asarray(
+        _grids_from_edge_records(rec, pix, cornell_scene,
+                                 RenderConfig(width=8, height=8, spp=1,
+                                              max_bounces=b), None)
+    )
+    tiny_bin = 0 * n_tri + 1
+    expect = float(np.sum(w[0, tiny_rows].astype(np.float64)))
+    got = dense[tiny_bin, 0]
+    # Plain f32 cumsum differences would be off by ~ulp(1e13) ~ 1e6;
+    # the compensated sum recovers the ~0.1-magnitude bin to ~1e-3.
+    assert abs(got - expect) < 1e-2 * expect, (got, expect)
+    # And the big bins agree with a float64 reference to f32 rounding.
+    keys = (dst * n_tri + src).astype(np.int64)
+    big_bin = int(keys[1, 0])
+    mask = keys == big_bin
+    expect_big = float(np.sum(w.astype(np.float64)[mask]))
+    np.testing.assert_allclose(dense[big_bin, 0], expect_big, rtol=1e-5)
